@@ -1,0 +1,130 @@
+"""Rotation warping: ROI detection, backward-map rasterization, image warping.
+
+Parity target: RotationWarperBase<P>::buildMaps/warp/warpRoi/detectResultRoi
+(reference warpers_inl.hpp:63-203) and SphericalWarper's pole-aware ROI
+(reference src/warpers.cpp:171-212).
+
+Host/device split: ROI detection runs on host (numpy) at registration time so
+all downstream shapes are static; map rasterization and remap run on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import remap as remap_mod
+from . import projections as proj
+
+
+def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
+                      src_size: Tuple[int, int],
+                      grid_step: int = 1) -> Tuple[int, int, int, int]:
+    """(tl_x, tl_y, br_x, br_y) of the warped image footprint (inclusive br
+    convention matches the reference's +1 sizing: width = br_x - tl_x + 1).
+
+    Generic path scans the full source grid like
+    RotationWarperBase::detectResultRoi (warpers_inl.hpp:144-163); spherical
+    additionally extends for visible poles (src/warpers.cpp:171-212).
+    """
+    w, h = src_size
+    r_kinv, k_rinv = proj.camera_maps(np.asarray(K, np.float32), np.asarray(R, np.float32))
+    xs = np.arange(0, w, grid_step, dtype=np.float32)
+    if xs[-1] != w - 1:
+        xs = np.append(xs, np.float32(w - 1))
+    ys = np.arange(0, h, grid_step, dtype=np.float32)
+    if ys[-1] != h - 1:
+        ys = np.append(ys, np.float32(h - 1))
+    gx, gy = np.meshgrid(xs, ys)
+    u, v = proj.map_forward(kind, scale, jnp.asarray(r_kinv), gx.ravel(), gy.ravel())
+    u = np.asarray(u)
+    v = np.asarray(v)
+    tl_u, br_u = float(u.min()), float(u.max())
+    tl_v, br_v = float(v.min()), float(v.max())
+
+    if kind == "spherical":
+        # Pole visibility: pano-frame pole rays (0, ±1, 0) projected through
+        # k_rinv; if inside the source image, extend v to the projection's
+        # natural bounds [0, scale*pi].
+        k_rinv_np = np.asarray(k_rinv)
+        for pole_dir, extend_to in (((0.0, -1.0, 0.0), 0.0), ((0.0, 1.0, 0.0), float(np.pi) * scale)):
+            p = k_rinv_np @ np.asarray(pole_dir, np.float32)
+            if p[2] > 0:
+                px, py = p[0] / p[2], p[1] / p[2]
+                if 0 <= px < w and 0 <= py < h:
+                    tl_v = min(tl_v, extend_to)
+                    br_v = max(br_v, extend_to)
+    return (int(np.floor(tl_u)), int(np.floor(tl_v)),
+            int(np.ceil(br_u)), int(np.ceil(br_v)))
+
+
+@partial(jax.jit, static_argnames=("kind", "shape"))
+def rasterize_backward_map(kind: str, scale, k_rinv: jnp.ndarray,
+                           corner_xy: jnp.ndarray, shape: Tuple[int, int]):
+    """Backward map (xmap, ymap) over a dst window of static `shape` (h, w)
+    whose top-left panorama coordinate is `corner_xy` (may be traced).
+
+    Parity: RotationWarperBase::buildMaps (warpers_inl.hpp:63-85).
+    """
+    h, w = shape
+    v = jnp.arange(h, dtype=jnp.float32)[:, None] + corner_xy[1]
+    u = jnp.arange(w, dtype=jnp.float32)[None, :] + corner_xy[0]
+    uu = jnp.broadcast_to(u, (h, w))
+    vv = jnp.broadcast_to(v, (h, w))
+    x, y, valid = proj.map_backward(kind, scale, k_rinv, uu, vv)
+    return x, y, valid
+
+
+def build_maps(kind: str, scale: float, K, R, src_size: Tuple[int, int],
+               pad_to: Tuple[int, int] | None = None):
+    """ROI + backward maps for one camera.
+
+    Returns (corner=(tl_x, tl_y), (xmap, ymap, valid)) where maps have shape
+    (br_y-tl_y+1, br_x-tl_x+1), optionally zero-padded to `pad_to` (static
+    shape across re-registrations; SURVEY §7.3 'Dynamic output ROI').
+    """
+    tl_x, tl_y, br_x, br_y = detect_result_roi(kind, scale, np.asarray(K), np.asarray(R), src_size)
+    h = br_y - tl_y + 1
+    w = br_x - tl_x + 1
+    if pad_to is not None:
+        h, w = max(h, pad_to[0]), max(w, pad_to[1])
+        if (h, w) != pad_to:
+            raise ValueError(f"ROI {h}x{w} exceeds pad_to {pad_to}")
+        h, w = pad_to
+    _, k_rinv = proj.camera_maps(np.asarray(K, np.float32), np.asarray(R, np.float32))
+    xmap, ymap, valid = rasterize_backward_map(
+        kind, scale, jnp.asarray(k_rinv), jnp.asarray([tl_x, tl_y], jnp.float32), (h, w))
+    return (tl_x, tl_y), (xmap, ymap, valid)
+
+
+def warp_image(image, kind: str, scale: float, K, R,
+               interp: str = "linear", border: str = "reflect",
+               pad_to: Tuple[int, int] | None = None):
+    """Warp a full image; returns (corner, warped).
+
+    Parity: RotationWarperBase::warp (warpers_inl.hpp:88-99) — builds maps then
+    remaps. Border modes as the reference compositing loop uses them
+    (CLI driver :710-716): images LINEAR/REFLECT, masks NEAREST/CONSTANT.
+    """
+    H, W = image.shape[:2]
+    corner, (xmap, ymap, valid) = build_maps(kind, scale, K, R, (W, H), pad_to=pad_to)
+    out = remap_mod.remap(jnp.asarray(image), xmap, ymap, interp=interp, border=border)
+    if border == "constant":
+        # invalid (behind-camera) pixels are already sentinel (-1,-1) -> cval=0
+        pass
+    return corner, out
+
+
+def warp_point(kind: str, scale: float, K, R, x: float, y: float):
+    r_kinv, _ = proj.camera_maps(np.asarray(K, np.float32), np.asarray(R, np.float32))
+    u, v = proj.map_forward(kind, scale, jnp.asarray(r_kinv), np.float32(x), np.float32(y))
+    return float(u), float(v)
+
+
+def warp_roi(kind: str, scale: float, K, R, src_size: Tuple[int, int]):
+    """Rect (x, y, w, h) of the warped footprint (warpers_inl.hpp:131-141)."""
+    tl_x, tl_y, br_x, br_y = detect_result_roi(kind, scale, np.asarray(K), np.asarray(R), src_size)
+    return tl_x, tl_y, br_x - tl_x + 1, br_y - tl_y + 1
