@@ -1,0 +1,58 @@
+"""Homography estimation: normalized weighted DLT + transfer error.
+
+Replaces cv::findHomography's LMeDS/RANSAC kernel as used by the reference
+matcher (src/matchers.cpp:603-651). The DLT solve uses eigh of the 9x9 normal
+matrix (TPU-friendly: tiny, batched) instead of an SVD of the 2M x 9 system.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _normalization(pts: jnp.ndarray, w: jnp.ndarray):
+    """Hartley normalization transform for weighted points [M,2], w [M]."""
+    wsum = jnp.maximum(w.sum(), 1e-12)
+    c = (pts * w[:, None]).sum(0) / wsum
+    d = jnp.sqrt(((pts - c) ** 2).sum(-1))
+    mean_d = (d * w).sum() / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-12)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    T = T.at[0, 0].set(s).at[1, 1].set(s).at[0, 2].set(-s * c[0]).at[1, 2].set(-s * c[1])
+    return T
+
+
+def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted normalized DLT. pts: [M,2], w: [M] >= 0. Returns H (p2 ~ H p1)."""
+    T1 = _normalization(pts1, w)
+    T2 = _normalization(pts2, w)
+    p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
+    p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
+    x, y = p1[:, 0], p1[:, 1]
+    xp, yp = p2[:, 0], p2[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([-x, -y, -one, zero, zero, zero, x * xp, y * xp, xp], -1)
+    r2 = jnp.stack([zero, zero, zero, -x, -y, -one, x * yp, y * yp, yp], -1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # [2M,9]
+    AtA = A.T @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    h = vecs[:, 0]
+    Hn = h.reshape(3, 3)
+    # denormalize: p2 = T2^-1 Hn T1 p1
+    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
+                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
+                       [0.0, 0.0, 1.0]])
+    H = T2inv @ Hn @ T1
+    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+    return H
+
+
+def transfer_error2(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Squared forward transfer error per correspondence (findHomography's
+    inlier criterion)."""
+    x, y = pts1[:, 0], pts1[:, 1]
+    d = H[2, 0] * x + H[2, 1] * y + H[2, 2]
+    d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    px = (H[0, 0] * x + H[0, 1] * y + H[0, 2]) / d
+    py = (H[1, 0] * x + H[1, 1] * y + H[1, 2]) / d
+    return (px - pts2[:, 0]) ** 2 + (py - pts2[:, 1]) ** 2

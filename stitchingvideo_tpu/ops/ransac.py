@@ -1,0 +1,75 @@
+"""Batched-hypothesis RANSAC homography, fully jittable.
+
+Parity target: cv::findHomography(CV_RANSAC) + inlier refit as driven by
+BestOf2NearestMatcher (reference src/matchers.cpp:603-651). TPU-first design
+(SURVEY §7.3 'RANSAC + LM on TPU'): a fixed batch of hypotheses evaluated in
+parallel (vmapped 4-point DLT + masked inlier count) replaces the sequential
+adaptive loop; two masked least-squares refits on the winning inlier set
+replace the final refine.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .homography import dlt_homography, transfer_error2
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def ransac_homography(key, pts1: jnp.ndarray, pts2: jnp.ndarray,
+                      valid: jnp.ndarray, thresh: float = 3.0,
+                      iters: int = 512):
+    """RANSAC H: pts1 -> pts2.
+
+    pts1/pts2: [M, 2] float32, valid: [M] bool.
+    Returns dict(H [3,3], inliers [M] bool, num_inliers i32, ok bool).
+    """
+    M = pts1.shape[0]
+    logits = jnp.where(valid, 0.0, -jnp.inf)
+    n_valid = valid.sum()
+
+    # [iters, 4] sample indices over valid correspondences
+    samples = jax.random.categorical(key, logits, shape=(iters, 4))
+
+    def distinct(s):
+        a = s[:, None] == s[None, :]
+        return (a.sum() == 4)
+
+    sample_ok = jax.vmap(distinct)(samples) & (n_valid >= 4)
+
+    def fit(sample):
+        p1 = pts1[sample]
+        p2 = pts2[sample]
+        w = jnp.ones((4,), jnp.float32)
+        return dlt_homography(p1, p2, w)
+
+    Hs = jax.vmap(fit)(samples)  # [iters,3,3]
+
+    def score(H):
+        err2 = transfer_error2(H, pts1, pts2)
+        inl = (err2 < thresh * thresh) & valid
+        return inl.sum(), inl
+
+    counts, inls = jax.vmap(score)(Hs)
+    counts = jnp.where(sample_ok, counts, -1)
+    best = jnp.argmax(counts)
+    best_inl = inls[best]
+
+    # Two refinement rounds of masked least-squares on the inlier set.
+    H = Hs[best]
+    for _ in range(2):
+        w = best_inl.astype(jnp.float32)
+        H_ref = dlt_homography(pts1, pts2, w)
+        err2 = transfer_error2(H_ref, pts1, pts2)
+        new_inl = (err2 < thresh * thresh) & valid
+        better = new_inl.sum() >= best_inl.sum()
+        H = jnp.where(better, H_ref, H)
+        best_inl = jnp.where(better, new_inl, best_inl)
+
+    num = best_inl.sum().astype(jnp.int32)
+    ok = (num >= 4) & (counts[best] > 0)
+    H = jnp.where(ok, H, jnp.eye(3))
+    return {"H": H, "inliers": best_inl & ok, "num_inliers": jnp.where(ok, num, 0),
+            "ok": ok}

@@ -1,0 +1,98 @@
+"""Feature detection / description / matching / RANSAC tests.
+
+Strategy (SURVEY §4): synthetic scenes with known ground truth — a textured
+image and a known homography/shift — rather than OpenCV descriptor parity
+(our rBRIEF pattern is deliberately our own; only self-consistency matters).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stitchingvideo_tpu.ops import features as F
+from stitchingvideo_tpu.ops.matching import match_pair
+from stitchingvideo_tpu.ops.ransac import ransac_homography
+from stitchingvideo_tpu.ops.homography import dlt_homography, transfer_error2
+
+
+def _textured(rng, h=240, w=320):
+    """Random blobs: corner-rich synthetic texture."""
+    img = np.zeros((h, w), np.float32)
+    for _ in range(150):
+        y, x = rng.integers(20, h - 20), rng.integers(20, w - 20)
+        s = rng.integers(3, 12)
+        img[y:y + s, x:x + s] += rng.uniform(40, 200)
+    return np.clip(img, 0, 255)
+
+
+def test_detect_finds_corners(rng):
+    img = _textured(rng)
+    xy, resp, valid = F.detect(jnp.asarray(img), threshold=15.0, max_kp=512)
+    n = int(np.asarray(valid).sum())
+    assert n > 50, n
+    # all detected keypoints respect the border
+    xy = np.asarray(xy)[np.asarray(valid)]
+    assert xy[:, 0].min() >= 24 and xy[:, 0].max() < 320 - 24
+    assert xy[:, 1].min() >= 24 and xy[:, 1].max() < 240 - 24
+
+
+def test_descriptor_shift_invariance(rng):
+    """Same content shifted by 8 px -> descriptors at shifted keypoints match."""
+    img = _textured(rng)
+    sh = np.roll(img, (0, 8), axis=(0, 1))
+    f1 = F.detect_and_describe(jnp.asarray(img), threshold=15.0, max_kp=256)
+    f2 = F.detect_and_describe(jnp.asarray(sh), threshold=15.0, max_kp=256)
+    src, dst, dist, valid = match_pair(f1["desc"], f1["valid"], f2["desc"], f2["valid"])
+    src, dst = np.asarray(src), np.asarray(dst)
+    valid = np.asarray(valid)
+    assert valid.sum() > 30
+    xy1 = np.asarray(f1["xy"])[src[valid]]
+    xy2 = np.asarray(f2["xy"])[dst[valid]]
+    dx = xy2[:, 0] - xy1[:, 0]
+    dy = xy2[:, 1] - xy1[:, 1]
+    # majority of matches should agree with the true (8, 0) shift
+    good = (np.abs(dx - 8) < 2) & (np.abs(dy) < 2)
+    assert good.mean() > 0.6, good.mean()
+
+
+def test_dlt_exact():
+    rng = np.random.default_rng(3)
+    H_true = np.array([[1.1, 0.05, 10], [-0.03, 0.95, -6], [1e-4, -5e-5, 1]], np.float32)
+    p1 = rng.uniform(-100, 100, (20, 2)).astype(np.float32)
+    hp = (np.c_[p1, np.ones(20)] @ H_true.T)
+    p2 = (hp[:, :2] / hp[:, 2:3]).astype(np.float32)
+    H = np.asarray(dlt_homography(jnp.asarray(p1), jnp.asarray(p2), jnp.ones(20)))
+    np.testing.assert_allclose(H / H[2, 2], H_true / H_true[2, 2], atol=2e-3)
+
+
+def test_ransac_recovers_h_with_outliers():
+    rng = np.random.default_rng(4)
+    H_true = np.array([[1.05, 0.02, 5], [0.01, 0.98, -3], [5e-5, 1e-5, 1]], np.float32)
+    M = 200
+    p1 = rng.uniform(-150, 150, (M, 2)).astype(np.float32)
+    hp = np.c_[p1, np.ones(M)] @ H_true.T
+    p2 = (hp[:, :2] / hp[:, 2:3]).astype(np.float32)
+    p2 += rng.normal(0, 0.3, p2.shape).astype(np.float32)
+    n_out = 80
+    p2[:n_out] = rng.uniform(-150, 150, (n_out, 2))  # outliers
+    valid = np.ones(M, bool)
+    valid[-10:] = False  # padding slots
+    out = ransac_homography(jax.random.PRNGKey(0), jnp.asarray(p1), jnp.asarray(p2),
+                            jnp.asarray(valid), thresh=3.0, iters=256)
+    assert bool(out["ok"])
+    ni = int(out["num_inliers"])
+    assert ni > 95, ni  # ~110 true inliers available
+    err2 = np.asarray(transfer_error2(out["H"], jnp.asarray(p1), jnp.asarray(p2)))
+    inl = np.asarray(out["inliers"])
+    assert np.all(err2[inl] < 9.0)
+    # no padding slot marked inlier
+    assert not inl[-10:].any()
+
+
+def test_ransac_degenerate_pair():
+    """Too few valid matches -> ok=False, H=I."""
+    p = jnp.zeros((32, 2))
+    valid = jnp.zeros((32,), bool)
+    out = ransac_homography(jax.random.PRNGKey(1), p, p, valid)
+    assert not bool(out["ok"])
+    assert int(out["num_inliers"]) == 0
