@@ -1,0 +1,176 @@
+"""Registration pipeline: images -> features -> match graph -> cameras.
+
+Parity target: the registration phase of the reference drivers
+(CLI stitching_detailed.cpp:359-540; RT driver GetPreStruct :348-694) and
+Stitcher::estimateTransform (src/stitcher.cpp:91-112, :337-486):
+  features -> pairwise match+RANSAC -> leaveBiggestComponent ->
+  HomographyBasedEstimator -> bundle adjustment -> median focal -> waveCorrect.
+
+Host orchestrates; the heavy stages (features, matching, RANSAC, BA) are
+jitted and shape-stable so re-registration in video mode never recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StitchConfig
+from ..models.camera import Cameras
+from ..ops import color, features as feat_ops
+from ..ops.matching import match_pair
+from ..ops.ransac import ransac_homography
+from . import estimator as est_mod
+from . import graph as graph_mod
+from .bundle import bundle_adjust
+from .wave import wave_correct
+
+
+@dataclasses.dataclass
+class PairResult:
+    """Host-side record for one ordered pair (i -> j)."""
+    src: int
+    dst: int
+    H: Optional[np.ndarray]
+    num_matches: int
+    num_inliers: int
+    confidence: float
+    pts1: np.ndarray  # [M,2] centered, padded
+    pts2: np.ndarray
+    inlier_w: np.ndarray  # [M] 0/1
+
+
+@dataclasses.dataclass
+class RegistrationResult:
+    cameras: Cameras
+    indices: List[int]              # kept image indices (biggest component)
+    warped_image_scale: float       # median focal (CLI :520-529)
+    pair_stats: Dict[Tuple[int, int], Tuple[int, int, float]]
+    features: List[dict]
+
+
+def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[dict]:
+    """Per-image feature dicts (gray conversion + detect_and_describe)."""
+    fc = cfg.features
+    out = []
+    for img in images:
+        arr = jnp.asarray(img)
+        gray = color.rgb_to_gray(arr) if arr.ndim == 3 else arr.astype(jnp.float32)
+        f = feat_ops.detect_and_describe(
+            gray, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
+            border=fc.border, grid=fc.grid)
+        f = dict(f)
+        f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
+        out.append(f)
+    return out
+
+
+def match_all_pairs(features: List[dict], cfg: StitchConfig,
+                    seed: int = 0) -> List[PairResult]:
+    """All unordered pairs matched + RANSAC'd (ordered i<j; H maps i->j)."""
+    mc = cfg.match
+    n = len(features)
+    results: List[PairResult] = []
+    key = jax.random.PRNGKey(seed)
+    for i in range(n):
+        for j in range(i + 1, n):
+            fi, fj = features[i], features[j]
+            src, dst, _dist, valid = match_pair(
+                fi["desc"], fi["valid"], fj["desc"], fj["valid"],
+                match_conf=mc.match_conf, max_matches=mc.max_matches)
+            # centered coordinates (matchers.cpp:595-605)
+            wi, hi = fi["img_wh"]
+            wj, hj = fj["img_wh"]
+            p1 = fi["xy"][src] - jnp.asarray([wi * 0.5, hi * 0.5])
+            p2 = fj["xy"][dst] - jnp.asarray([wj * 0.5, hj * 0.5])
+            nm = int(np.asarray(valid).sum())
+            if nm < mc.min_matches_for_h:
+                results.append(PairResult(i, j, None, nm, 0, 0.0,
+                                          np.asarray(p1), np.asarray(p2),
+                                          np.zeros(mc.max_matches, np.float32)))
+                continue
+            key, sub = jax.random.split(key)
+            r = ransac_homography(sub, p1, p2, valid,
+                                  thresh=mc.ransac_thresh, iters=mc.ransac_iters)
+            ni = int(r["num_inliers"])
+            conf = ni / (8.0 + 0.3 * nm)  # matchers.cpp:622
+            if conf > mc.near_dup_confidence:
+                conf = 0.0                # near-duplicate guard (:627)
+            results.append(PairResult(
+                i, j, np.asarray(r["H"]) if bool(r["ok"]) else None,
+                nm, ni, conf, np.asarray(p1), np.asarray(p2),
+                np.asarray(r["inliers"]).astype(np.float32)))
+    return results
+
+
+def estimate_cameras(features: List[dict], pairs: List[PairResult],
+                     cfg: StitchConfig) -> RegistrationResult:
+    """Component selection + rotation estimation + BA + wave correction."""
+    rc = cfg.register
+    n = len(features)
+    conf_map = {(p.src, p.dst): p.confidence for p in pairs}
+    keep = graph_mod.biggest_component(n, conf_map, rc.conf_thresh)
+    if len(keep) < 2:
+        raise ValueError("Need more images: no connected component of size >= 2 "
+                         "(reference 64-bit driver :472-476)")
+    remap_idx = {g: k for k, g in enumerate(keep)}
+
+    pair_info: Dict[Tuple[int, int], Tuple[np.ndarray, int]] = {}
+    good_pairs: List[PairResult] = []
+    for p in pairs:
+        if p.src in remap_idx and p.dst in remap_idx and p.H is not None \
+                and p.confidence > rc.conf_thresh:
+            pair_info[(remap_idx[p.src], remap_idx[p.dst])] = (p.H, p.num_inliers)
+            good_pairs.append(p)
+    if not pair_info:
+        raise ValueError("Need more images: no confident pairs")
+
+    sizes = [features[g]["img_wh"] for g in keep]
+    focals, Rs = est_mod.estimate_rotations(sizes, pair_info)
+
+    if rc.ba_kind in ("ray", "reproj") and good_pairs:
+        E = len(good_pairs)
+        M = good_pairs[0].pts1.shape[0]
+        edge_i = np.array([remap_idx[p.src] for p in good_pairs], np.int32)
+        edge_j = np.array([remap_idx[p.dst] for p in good_pairs], np.int32)
+        pts1 = np.stack([p.pts1 for p in good_pairs]).astype(np.float32)
+        pts2 = np.stack([p.pts2 for p in good_pairs]).astype(np.float32)
+        w = np.stack([p.inlier_w for p in good_pairs]).astype(np.float32)
+        refine_focal = rc.ba_refine_mask[0] == "x"
+        focals_j, Rs_j, _cost = bundle_adjust(
+            jnp.asarray(focals), jnp.asarray(Rs),
+            jnp.asarray(edge_i), jnp.asarray(edge_j),
+            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(w),
+            kind=rc.ba_kind, iters=rc.ba_iters, refine_focal=refine_focal)
+        focals = np.asarray(focals_j)
+        Rs = np.asarray(Rs_j)
+        # gauge fix: normalize to spanning-tree center camera
+        weight = {(i, j): float(ni) for (i, j), (_H, ni) in pair_info.items()}
+        _tree, center = graph_mod.max_spanning_tree(len(keep), weight)
+        Rs = np.einsum("ab,nbc->nac", np.linalg.inv(Rs[center]), Rs)
+
+    if rc.wave_correct is not None:
+        Rs = wave_correct(Rs, rc.wave_correct)
+
+    warped_image_scale = float(np.median(focals))  # CLI :520-529
+    cams = Cameras.create(
+        focal=np.asarray(focals, np.float32),
+        ppx=np.array([s[0] * 0.5 for s in sizes], np.float32),
+        ppy=np.array([s[1] * 0.5 for s in sizes], np.float32),
+        R=np.asarray(Rs, np.float32))
+    stats = {(p.src, p.dst): (p.num_matches, p.num_inliers, p.confidence)
+             for p in pairs}
+    return RegistrationResult(cameras=cams, indices=keep,
+                              warped_image_scale=warped_image_scale,
+                              pair_stats=stats,
+                              features=[features[g] for g in keep])
+
+
+def register_images(images: Sequence[np.ndarray], cfg: StitchConfig,
+                    seed: int = 0) -> RegistrationResult:
+    feats = compute_features(images, cfg)
+    pairs = match_all_pairs(feats, cfg, seed)
+    return estimate_cameras(feats, pairs, cfg)
