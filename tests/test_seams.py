@@ -1,0 +1,106 @@
+"""Seam finders: distance transform golden, maxflow vs brute force, seam
+properties (partition of overlap, cut quality)."""
+import itertools
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp  # noqa: E402
+
+from stitchingvideo_tpu.ops.distance import distance_transform_l1  # noqa: E402
+from stitchingvideo_tpu.seams.voronoi import voronoi_seams  # noqa: E402
+
+
+def test_distance_transform_matches_cv2(rng):
+    mask = (rng.uniform(size=(40, 60)) > 0.2).astype(np.uint8)
+    ref = cv2.distanceTransform(mask, cv2.DIST_L1, 3)
+    ours = np.asarray(distance_transform_l1(jnp.asarray(mask.astype(bool))))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_voronoi_seams_partition():
+    H, W = 60, 100
+    masks = np.zeros((2, H, W), bool)
+    masks[0, :, :70] = True
+    masks[1, :, 30:] = True
+    out = np.asarray(voronoi_seams(jnp.asarray(masks)))
+    # overlap fully partitioned, nothing outside original masks
+    assert not (out[0] & out[1]).any()
+    assert ((out[0] | out[1]) == (masks[0] | masks[1])).all()
+    # seam should sit near the middle of the overlap (x=50)
+    cut_cols = np.where(out[0].sum(0) > 0)[0]
+    assert abs(cut_cols.max() - 49) <= 1
+
+
+def _brute_force_mincut(h, w, tsrc, tsnk, capr, capd):
+    """Enumerate all 2^(h*w) labelings (tiny grids only)."""
+    n = h * w
+    best = np.inf
+    best_lab = None
+    for bits in itertools.product([0, 1], repeat=n):
+        lab = np.array(bits).reshape(h, w)  # 1 = source side
+        cost = tsrc[lab == 0].sum() + tsnk[lab == 1].sum()
+        cost += (capr * (lab[:, :-1] != lab[:, 1:])).sum()
+        cost += (capd * (lab[:-1] != lab[1:])).sum()
+        if cost < best - 1e-9:
+            best = cost
+            best_lab = lab
+    return best, best_lab
+
+
+def test_maxflow_matches_bruteforce(rng):
+    import ctypes
+    from stitchingvideo_tpu.native import build as native_build
+    lib = native_build.load()
+    for trial in range(5):
+        h, w = 3, 4
+        tsrc = rng.uniform(0, 5, (h, w)).astype(np.float32)
+        tsnk = rng.uniform(0, 5, (h, w)).astype(np.float32)
+        capr = rng.uniform(0.1, 3, (h, w - 1)).astype(np.float32)
+        capd = rng.uniform(0.1, 3, (h - 1, w)).astype(np.float32)
+        labels = np.zeros(h * w, np.uint8)
+
+        def p(a, t=ctypes.c_float):
+            return np.ascontiguousarray(a.ravel()).ctypes.data_as(ctypes.POINTER(t))
+
+        flow = lib.grid_maxflow(h, w, p(tsrc), p(tsnk), p(capr), p(capd),
+                                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        best, _best_lab = _brute_force_mincut(h, w, tsrc, tsnk, capr, capd)
+        assert flow == pytest.approx(best, rel=1e-5), (trial, flow, best)
+        # check our labeling achieves the min cut value
+        lab = labels.reshape(h, w)
+        cost = tsrc[lab == 0].sum() + tsnk[lab == 1].sum()
+        cost += (capr * (lab[:, :-1] != lab[:, 1:])).sum()
+        cost += (capd * (lab[:-1] != lab[1:])).sum()
+        assert cost == pytest.approx(best, rel=1e-5)
+
+
+def test_graphcut_seams_partition_and_quality(rng):
+    """Graph-cut seam on a two-view canvas: partition + avoids high-diff cut."""
+    from stitchingvideo_tpu.seams.graphcut import graphcut_seams
+    H, W = 48, 80
+    base = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (7, 7), 2.0)
+    img1 = np.zeros((H, W, 3), np.float32)
+    img2 = np.zeros((H, W, 3), np.float32)
+    img1[:, :55] = base[:, :55]
+    img2[:, 25:] = base[:, 25:]
+    # make image2 differ strongly in a vertical stripe x in [30, 35): the seam
+    # should avoid crossing content there... (diff high -> expensive cut)
+    img2[:, 30:35] += 80
+    masks = np.zeros((2, H, W), bool)
+    masks[0, :, :55] = True
+    masks[1, :, 25:] = True
+    out = graphcut_seams(np.stack([img1, img2]), masks, "color")
+    assert not (out[0] & out[1]).any()
+    assert ((out[0] | out[1]) == (masks[0] | masks[1])).all()
+    # seam must not pass through the high-difference stripe
+    boundary_cols = set()
+    for y in range(H):
+        row = out[0][y]
+        xs = np.where(row)[0]
+        if len(xs):
+            boundary_cols.add(xs.max())
+    assert not any(30 <= c < 35 for c in boundary_cols), sorted(boundary_cols)
