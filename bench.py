@@ -1,0 +1,87 @@
+"""Benchmark: 5-camera 1080p -> 360° panorama per-frame composite fps.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": ...}
+
+Baseline: the reference RT driver's measured hot loop, 26-60 ms/frame ->
+~17-38 fps on its 2016 CPU (BASELINE.md); we normalize against its best
+(38 fps). Target from BASELINE.json: >=60 fps on one v5e chip.
+
+The benched step is the reference-parity hot path (StitchingAll :724-770):
+per-frame multi-camera bilinear gather through the cached composite LUT with
+per-pixel gain — device-resident, steady-state (post-compile), averaged.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 38.0
+
+
+def build_state(n_cams=5, fh=1080, fw=1920, pano_h=1280, pano_w=7680):
+    """Realistic composite LUT: 5 cameras cylindrically spread over a 360°
+    canvas (~10 MP), built through the real registration-state machinery."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.video.lut import CompositeLUT
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (n_cams, fh, fw, 3), np.uint8)
+
+    # cylindrical backward map per pano pixel: camera = nearest by yaw
+    xx = np.arange(pano_w, dtype=np.float32)[None, :]
+    yy = np.arange(pano_h, dtype=np.float32)[:, None]
+    theta = (xx / pano_w) * 2 * np.pi - np.pi            # [-pi, pi)
+    f = 0.5 * fw / np.tan(np.radians(60) / 2)            # 60° hfov
+    yaw_step = 2 * np.pi / n_cams
+    cam = np.clip(np.round((theta + np.pi - yaw_step / 2) / yaw_step), 0,
+                  n_cams - 1).astype(np.int32)
+    cam = np.broadcast_to(cam, (pano_h, pano_w)).copy()
+    local = theta - (cam * yaw_step - np.pi + yaw_step / 2)
+    src_x = np.float32(f) * np.tan(local) + fw / 2
+    v = (yy / pano_h - 0.5) * (fh / f * 1.1)
+    src_y = np.broadcast_to(np.float32(f) * v / np.cos(local) + fh / 2,
+                            (pano_h, pano_w))
+    valid = (src_x >= 0) & (src_x < fw - 1) & (src_y >= 0) & (src_y < fh - 1)
+    gain = (1.0 + 0.05 * np.sin(xx / 57.0)).astype(np.float32)
+    lut = CompositeLUT(
+        cam_idx=jnp.asarray(np.where(valid, cam, -1).astype(np.int32)),
+        src_x=jnp.asarray(src_x.astype(np.float32)),
+        src_y=jnp.asarray(np.broadcast_to(src_y, (pano_h, pano_w)).astype(np.float32)),
+        gain=jnp.asarray(np.broadcast_to(gain, (pano_h, pano_w)).astype(np.float32)))
+    return frames, lut
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.video.lut import composite_frame_u8
+
+    frames_np, lut = build_state()
+    frames = jax.device_put(jnp.asarray(frames_np))
+    lut = jax.device_put(lut)
+
+    # compile + warmup
+    out = composite_frame_u8(frames, lut)
+    out.block_until_ready()
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = composite_frame_u8(frames, lut)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "5cam_1080p_360pano_composite_fps",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

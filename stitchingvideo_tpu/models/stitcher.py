@@ -1,0 +1,332 @@
+"""Stitcher facade: the public two-phase API.
+
+Parity target: cv::Stitcher (reference src/stitcher.cpp:49-334,
+include/.../stitcher.hpp:58-174) and the CLI compositing flow
+(stitching_detailed.cpp:545-764):
+
+  estimate_transform(images) -> Registration   (slow path)
+  compose_panorama(images, registration)       (repeatable fast path)
+  stitch(images) = both
+
+Multi-resolution decoupling follows the reference exactly (SURVEY §5.7):
+registration at work_megapix, seams/exposure at seam_megapix, composition at
+compose_megapix, linked by work_scale/seam_scale/compose_work_aspect.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..blend.feather import feather_blend, feather_weights
+from ..blend.multiband import multiband_blend, num_bands_for, pad_for_bands
+from ..config import StitchConfig
+from ..geometry import projections as proj
+from ..geometry.warp import detect_result_roi, rasterize_backward_map
+from ..ops.filters import dilate
+from ..ops.remap import remap
+from ..photometric.exposure import blocks_gain_maps, gain_compensator, upsample_gain
+from ..register.pipeline import RegistrationResult, register_images
+from ..seams.graphcut import graphcut_seams
+from ..seams.voronoi import voronoi_seams
+from ..seams.dp import dp_seams
+from .camera import Cameras
+from .registration import Registration
+
+
+def _scale_for(megapix: float, w: int, h: int) -> float:
+    if megapix <= 0:
+        return 1.0
+    return min(1.0, float(np.sqrt(megapix * 1e6 / (w * h))))
+
+
+def _resize(img: np.ndarray, scale: float) -> np.ndarray:
+    if scale == 1.0:
+        return img
+    h, w = img.shape[:2]
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    out = jax.image.resize(jnp.asarray(img, jnp.float32),
+                           (nh, nw) + img.shape[2:], method="linear")
+    return np.asarray(jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8))
+
+
+@partial(jax.jit, static_argnames=("kind", "interp", "border", "shape"))
+def _warp_with_maps(image, kind, scale, k_rinv, corner_xy, shape, interp, border):
+    xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner_xy, shape)
+    out = remap(image, xm, ym, interp=interp, border=border)
+    return out, xm, ym, valid
+
+
+class Stitcher:
+    """High-level stitcher. See module docstring."""
+
+    def __init__(self, config: Optional[StitchConfig] = None):
+        self.cfg = config or StitchConfig()
+
+    # ------------------------------------------------------------------
+    # Phase 1: estimate_transform (stitcher.cpp:91-112)
+    # ------------------------------------------------------------------
+    def estimate_transform(self, images: Sequence[np.ndarray],
+                           seed: int = 0) -> Registration:
+        cfg = self.cfg
+        h0, w0 = images[0].shape[:2]
+        work_scale = _scale_for(cfg.scales.work_megapix, w0, h0)
+        seam_scale = _scale_for(cfg.scales.seam_megapix, w0, h0)
+        seam_work_aspect = seam_scale / work_scale
+
+        work_imgs = [_resize(im, work_scale) for im in images]
+        reg = register_images(work_imgs, cfg, seed)
+        kept = reg.indices
+        full_kept = [images[i] for i in kept]
+        n = len(kept)
+
+        cams = reg.cameras  # work-scale intrinsics, centered pp re-added
+        warped_image_scale = reg.warped_image_scale
+        kind = cfg.compose.warp_type
+
+        # ---- seam-scale warps (CLI :545-580) ----
+        seam_imgs = [_resize(im, seam_scale) for im in full_kept]
+        s_scale = warped_image_scale * seam_work_aspect
+        s_corners: List[Tuple[int, int]] = []
+        s_warped: List[np.ndarray] = []
+        s_masks: List[np.ndarray] = []
+        for i in range(n):
+            K = np.asarray(cams.K()[i]).astype(np.float64)
+            K[0] *= seam_work_aspect
+            K[1] *= seam_work_aspect
+            R = np.asarray(cams.R[i])
+            hs, ws = seam_imgs[i].shape[:2]
+            tlx, tly, brx, bry = detect_result_roi(kind, s_scale, K, R, (ws, hs))
+            shape = (bry - tly + 1, brx - tlx + 1)
+            _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
+            img_w, _xm, _ym, valid = _warp_with_maps(
+                jnp.asarray(seam_imgs[i]), kind, s_scale, jnp.asarray(k_rinv),
+                jnp.asarray([tlx, tly], jnp.float32), shape, "linear", "reflect")
+            ones = jnp.ones(seam_imgs[i].shape[:2], jnp.float32)
+            mask_w, _, _, _ = _warp_with_maps(
+                ones, kind, s_scale, jnp.asarray(k_rinv),
+                jnp.asarray([tlx, tly], jnp.float32), shape, "nearest", "constant")
+            s_corners.append((tlx, tly))
+            s_warped.append(np.asarray(img_w))
+            s_masks.append(np.asarray(mask_w > 0) & np.asarray(valid))
+
+        # seam-scale canvas
+        sx0 = min(c[0] for c in s_corners)
+        sy0 = min(c[1] for c in s_corners)
+        sx1 = max(c[0] + m.shape[1] for c, m in zip(s_corners, s_masks))
+        sy1 = max(c[1] + m.shape[0] for c, m in zip(s_corners, s_masks))
+        SH, SW = sy1 - sy0, sx1 - sx0
+        canvas_imgs = np.zeros((n, SH, SW, 3), np.float32)
+        canvas_masks = np.zeros((n, SH, SW), bool)
+        for i in range(n):
+            cy, cx = s_corners[i][1] - sy0, s_corners[i][0] - sx0
+            hh, ww = s_masks[i].shape
+            canvas_imgs[i, cy:cy + hh, cx:cx + ww] = s_warped[i]
+            canvas_masks[i, cy:cy + hh, cx:cx + ww] = s_masks[i]
+
+        # ---- exposure compensation at seam scale (CLI :586-590) ----
+        ec = cfg.compose.expos_comp
+        if ec == "gain":
+            gains = np.asarray(gain_compensator(jnp.asarray(canvas_imgs),
+                                                jnp.asarray(canvas_masks)))
+            gain_canvas = np.broadcast_to(
+                gains[:, None, None], (n, SH, SW)).astype(np.float32)
+        elif ec == "gain_blocks":
+            bs = cfg.compose.expos_block_size
+            gmaps = blocks_gain_maps(jnp.asarray(canvas_imgs),
+                                     jnp.asarray(canvas_masks), bs)
+            gain_canvas = np.asarray(jax.vmap(
+                lambda g: upsample_gain(g, (SH, SW), bs))(gmaps))
+        else:
+            gain_canvas = np.ones((n, SH, SW), np.float32)
+
+        # ---- seam finding at seam scale (CLI :594-637) ----
+        sf = cfg.compose.seam_find
+        if sf == "voronoi":
+            seam_canvas = np.asarray(voronoi_seams(jnp.asarray(canvas_masks)))
+        elif sf in ("gc_color", "gc_colorgrad"):
+            seam_canvas = graphcut_seams(
+                canvas_imgs, canvas_masks,
+                "color" if sf == "gc_color" else "colorgrad")
+        elif sf in ("dp_color", "dp_colorgrad"):
+            seam_canvas = dp_seams(
+                canvas_imgs, canvas_masks,
+                "color" if sf == "dp_color" else "colorgrad")
+        elif sf == "no":
+            seam_canvas = canvas_masks.copy()
+        else:
+            raise ValueError(f"unknown seam finder {sf}")
+
+        # ---- compose-scale warp fields (CLI :656-716) ----
+        compose_scale = _scale_for(cfg.scales.compose_megapix, w0, h0)
+        compose_work_aspect = compose_scale / work_scale
+        c_scale = warped_image_scale * compose_work_aspect
+
+        c_corners = []
+        c_shapes = []
+        Ks = []
+        for i in range(n):
+            K = np.asarray(cams.K()[i]).astype(np.float64)
+            K[0] *= compose_work_aspect
+            K[1] *= compose_work_aspect
+            Ks.append(K)
+            hc = round(full_kept[i].shape[0] * compose_scale)
+            wc = round(full_kept[i].shape[1] * compose_scale)
+            tlx, tly, brx, bry = detect_result_roi(kind, c_scale, K,
+                                                   np.asarray(cams.R[i]), (wc, hc))
+            c_corners.append((tlx, tly))
+            c_shapes.append((bry - tly + 1, brx - tlx + 1))
+
+        Hr = max(s[0] for s in c_shapes)
+        Wr = max(s[1] for s in c_shapes)
+
+        xmaps = np.zeros((n, Hr, Wr), np.float32)
+        ymaps = np.zeros((n, Hr, Wr), np.float32)
+        valids = np.zeros((n, Hr, Wr), bool)
+        seam_rois = np.zeros((n, Hr, Wr), bool)
+        gain_rois = np.ones((n, Hr, Wr), np.float32)
+        for i in range(n):
+            _, k_rinv = proj.camera_maps(Ks[i].astype(np.float32),
+                                         np.asarray(cams.R[i]))
+            xm, ym, valid = rasterize_backward_map(
+                kind, c_scale, jnp.asarray(k_rinv),
+                jnp.asarray(c_corners[i], jnp.float32), (Hr, Wr))
+            hc = round(full_kept[i].shape[0] * compose_scale)
+            wc = round(full_kept[i].shape[1] * compose_scale)
+            inb = (np.asarray(xm) > -0.5) & (np.asarray(xm) < wc - 0.5) & \
+                  (np.asarray(ym) > -0.5) & (np.asarray(ym) < hc - 0.5)
+            xmaps[i] = np.asarray(xm)
+            ymaps[i] = np.asarray(ym)
+            rh, rw = c_shapes[i]
+            inside_roi = np.zeros((Hr, Wr), bool)
+            inside_roi[:rh, :rw] = True
+            valids[i] = np.asarray(valid) & inb & inside_roi
+
+            # seam + gain transfer: compose-ROI pixel -> seam-canvas pixel
+            ratio = s_scale / c_scale
+            yy = (np.arange(Hr) + c_corners[i][1]) * ratio - sy0
+            xx = (np.arange(Wr) + c_corners[i][0]) * ratio - sx0
+            gx, gy = np.meshgrid(xx, yy)
+            sm = np.asarray(dilate(jnp.asarray(seam_canvas[i]), 3)).astype(np.float32)
+            seam_resized = np.asarray(remap(jnp.asarray(sm), jnp.asarray(gx),
+                                            jnp.asarray(gy), interp="linear",
+                                            border="constant"))
+            seam_rois[i] = (seam_resized > 0.05) & valids[i]
+            gain_resized = np.asarray(remap(jnp.asarray(gain_canvas[i]),
+                                            jnp.asarray(gx), jnp.asarray(gy),
+                                            interp="linear", border="replicate"))
+            gain_rois[i] = gain_resized
+
+        # canvas
+        cx0 = min(c[0] for c in c_corners)
+        cy0 = min(c[1] for c in c_corners)
+        cx1 = max(c[0] + s[1] for c, s in zip(c_corners, c_shapes))
+        cy1 = max(c[1] + s[0] for c, s in zip(c_corners, c_shapes))
+        CW, CH = cx1 - cx0, cy1 - cy0
+        corners = np.array([[c[0] - cx0, c[1] - cy0] for c in c_corners], np.int32)
+
+        cams_c = Cameras(
+            focal=cams.focal * compose_work_aspect,
+            aspect=cams.aspect,
+            ppx=cams.ppx * compose_work_aspect,
+            ppy=cams.ppy * compose_work_aspect,
+            R=cams.R, t=cams.t)
+
+        return Registration(
+            cameras=cams_c,
+            corners=jnp.asarray(corners),
+            valid=jnp.asarray(valids),
+            xmaps=jnp.asarray(xmaps),
+            ymaps=jnp.asarray(ymaps),
+            seam_masks=jnp.asarray(seam_rois),
+            gain_maps=jnp.asarray(gain_rois),
+            canvas_wh=(CW, CH),
+            roi_hw=(Hr, Wr),
+            warp_kind=kind,
+            warp_scale=float(c_scale),
+        ), reg, compose_scale
+
+    # ------------------------------------------------------------------
+    # Phase 2: compose_panorama (stitcher.cpp:114-316)
+    # ------------------------------------------------------------------
+    def compose_panorama(self, images: Sequence[np.ndarray], reg: Registration,
+                         reg_result: Optional[RegistrationResult] = None,
+                         compose_scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.cfg
+        if reg_result is not None:
+            images = [images[i] for i in reg_result.indices]
+        imgs = [_resize(im, compose_scale) for im in images]
+        n = reg.n_cameras
+        # pad inputs to a common static shape for vmapped remap
+        Hs = max(im.shape[0] for im in imgs)
+        Ws = max(im.shape[1] for im in imgs)
+        batch = np.zeros((n, Hs, Ws, 3), np.float32)
+        for i, im in enumerate(imgs):
+            batch[i, :im.shape[0], :im.shape[1]] = im
+
+        warped = _remap_gain_batch(jnp.asarray(batch), reg.xmaps, reg.ymaps,
+                                   reg.gain_maps)
+        pano, mask = _blend_on_canvas(
+            warped, reg.seam_masks, reg.valid, np.asarray(reg.corners),
+            reg.canvas_wh, cfg.compose.blend_type, cfg.compose.blend_strength,
+            cfg.compose.feather_sharpness)
+        return (np.asarray(jnp.clip(jnp.round(pano), 0, 255).astype(jnp.uint8)),
+                np.asarray(mask))
+
+    def stitch(self, images: Sequence[np.ndarray],
+               seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        reg, reg_result, compose_scale = self.estimate_transform(images, seed)
+        return self.compose_panorama(images, reg, reg_result, compose_scale)
+
+
+@jax.jit
+def _remap_gain_batch(images, xmaps, ymaps, gains):
+    """[N,H,W,3] + maps -> warped [N,Hr,Wr,3] with gains applied."""
+    def one(img, xm, ym, g):
+        w = remap(img, xm, ym, interp="linear", border="reflect")
+        return w * g[..., None]
+    return jax.vmap(one)(images, xmaps, ymaps, gains)
+
+
+def _blend_on_canvas(warped, seam_masks, valids, corners, canvas_wh,
+                     blend_type: str, blend_strength: float, sharpness: float):
+    """Place per-camera ROIs on the canvas (static corners) and blend."""
+    CW, CH = canvas_wh
+    n, Hr, Wr = warped.shape[0], warped.shape[1], warped.shape[2]
+    if blend_type == "multiband":
+        area = float(CW * CH)
+        bands = num_bands_for(area, blend_strength)
+        CHp, CWp = pad_for_bands(CH, CW, bands)
+    else:
+        CHp, CWp = CH, CW
+
+    canvas_imgs = jnp.zeros((n, CHp, CWp, 3), jnp.float32)
+    canvas_seams = jnp.zeros((n, CHp, CWp), bool)
+    for i in range(n):
+        x, y = int(corners[i][0]), int(corners[i][1])
+        h = min(Hr, CHp - y)
+        w = min(Wr, CWp - x)
+        canvas_imgs = canvas_imgs.at[i, y:y + h, x:x + w].set(
+            (warped[i] * valids[i][..., None])[:h, :w])
+        canvas_seams = canvas_seams.at[i, y:y + h, x:x + w].set(
+            (seam_masks[i] & valids[i])[:h, :w])
+
+    if blend_type == "no":
+        # priority paste (first camera wins where seams overlap nothing)
+        wsum = canvas_seams.astype(jnp.float32)
+        acc = jnp.einsum("nhwc,nhw->hwc", canvas_imgs, wsum)
+        tot = wsum.sum(0)
+        pano = acc / jnp.maximum(tot[..., None], 1.0)
+        mask = tot > 0
+    elif blend_type == "feather":
+        w = feather_weights(canvas_seams, sharpness)
+        pano, mask = feather_blend(canvas_imgs, w)
+    elif blend_type == "multiband":
+        bands = num_bands_for(float(CW * CH), blend_strength)
+        pano, mask = multiband_blend(canvas_imgs, canvas_seams, bands)
+    else:
+        raise ValueError(f"unknown blend type {blend_type}")
+    return pano[:CH, :CW], mask[:CH, :CW]

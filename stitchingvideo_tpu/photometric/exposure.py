@@ -89,27 +89,28 @@ def blocks_gain_maps(images: jnp.ndarray, masks: jnp.ndarray,
     nby = -(-H // bs)
     nbx = -(-W // bs)
     B = nby * nbx
+    Hp, Wp = nby * bs, nbx * bs
 
-    yy = jnp.arange(H)[:, None] // bs
-    xx = jnp.arange(W)[None, :] // bs
-    blk = (yy * nbx + xx).reshape(-1)                # [P] block id per pixel
+    lum = _intensity(images)
+    m = masks.astype(jnp.float32)
+    if (Hp, Wp) != (H, W):
+        lum = jnp.pad(lum, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, Wp - W)))
 
-    lum = _intensity(images).reshape(n, -1)
-    m = masks.reshape(n, -1).astype(jnp.float32)
+    def block_pool(x):
+        """[..., Hp, Wp] -> [..., B] sums over aligned bs x bs tiles."""
+        s = x.shape[:-2]
+        x = x.reshape(*s, nby, bs, nbx, bs).sum(axis=(-3, -1))
+        return x.reshape(*s, B)
 
-    # one-hot block membership [B, P] — small B, static
-    onehot = (blk[None, :] == jnp.arange(B)[:, None]).astype(jnp.float32)
-
-    # For each image pair (i, j): per-block-pair counts. Because the block grid
-    # is shared across the canvas, block b of image i overlaps only block b of
-    # image j — the statistics reduce to per-block masked sums.
-    # N_blocks total unknowns: K = n * B, but interactions only within same b.
-    mb = m[:, None, :] * onehot[None, :, :]          # [n, B, P] membership
-    lumb = lum[:, None, :] * onehot[None, :, :]
-
-    # pairwise per-block overlap counts and intensity sums: [B, n, n]
-    Nb = jnp.einsum("ibp,jbp->bij", mb, mb)
-    Ib = jnp.einsum("ibp,jbp->bij", lumb, mb)
+    # Because the block grid is canvas-aligned, block b of image i only ever
+    # overlaps block b of image j — the pairwise block statistics reduce to
+    # block-pooled elementwise products (no [B, P] membership matrix needed).
+    mm = m[:, None] * m[None, :]                      # [n, n, Hp, Wp]
+    Nb = block_pool(mm)                               # [n, n, B]
+    Ib = block_pool(lum[:, None] * mm)
+    Nb = jnp.moveaxis(Nb, -1, 0)                      # [B, n, n]
+    Ib = jnp.moveaxis(Ib, -1, 0)
     eye = jnp.eye(n)[None]
     Nb = Nb * (1.0 - eye)
     Imean = Ib / jnp.maximum(Nb, 1.0)
@@ -118,7 +119,7 @@ def blocks_gain_maps(images: jnp.ndarray, masks: jnp.ndarray,
     gmaps = gains.T.reshape(n, nby, nbx)
 
     # blocks with no own coverage: fill with 1 before smoothing
-    cover = jnp.einsum("ibp->bi", mb).T.reshape(n, nby, nbx)
+    cover = block_pool(m).reshape(n, nby, nbx)
     gmaps = jnp.where(cover > 0, gmaps, 1.0)
 
     k = jnp.array([0.25, 0.5, 0.25], jnp.float32)

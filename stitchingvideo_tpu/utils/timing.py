@@ -1,0 +1,57 @@
+"""Timing spans + structured stage tracing.
+
+Parity target: the reference's getTickCount()/LOGLN stage timers captured to
+resultTime*.txt (SURVEY §5.1) — upgraded to a structured tracer: named spans,
+aggregation, and a machine-readable report.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, List
+
+
+class Timer:
+    def __enter__(self):
+        self.start = time.perf_counter()
+        self.elapsed = 0.0
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.start
+        return False
+
+
+class Tracer:
+    """Collects named spans; .report() mirrors the reference's per-stage log
+    lines ('Finding features, time:', ...) in structured form."""
+
+    def __init__(self):
+        self.spans: Dict[str, List[float]] = defaultdict(list)
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.spans[name].append(time.perf_counter() - t0)
+
+    def report(self) -> Dict[str, dict]:
+        return {
+            name: {
+                "count": len(v),
+                "total_s": sum(v),
+                "mean_s": sum(v) / len(v),
+                "last_s": v[-1],
+            }
+            for name, v in self.spans.items()
+        }
+
+    def dumps(self) -> str:
+        return json.dumps(self.report(), indent=2, sort_keys=True)
+
+
+GLOBAL_TRACER = Tracer()

@@ -1,0 +1,187 @@
+"""Video runtime: cached-registration streaming compositor.
+
+Parity target: the reference 64-bit RT driver's main loop + threads
+(stitching_detailed.cpp:724-856): a compositing hot loop streams frames
+through cached LUTs while a registration worker re-registers every K seconds
+(:843, 30 s) or on demand ('a' key, :768), swapping state double-buffered
+(`UpdateMat` :696-722). Differences by design:
+
+  * Registration state + LUT are immutable pytrees; "swap" is an atomic
+    reference assignment under a lock — no torn reads (the reference's
+    Upflag/imgMatready plain-bool races, SURVEY §5.2, cannot happen).
+  * The output canvas is frozen to the first registration's (cropped) shape so
+    the hot loop never recompiles; later registrations are padded/cropped in.
+  * A dead frame source times out instead of hanging (SURVEY §5.3).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import StitchConfig
+from ..models.registration import Registration
+from ..models.stitcher import Stitcher
+from ..utils.timing import Timer
+from .lut import CompositeLUT, build_lut, composite_frame_u8
+from .sources import FrameSource
+
+
+@dataclass
+class FrameStats:
+    """Per-frame timing log (reference 'Stitching Frame'/'Read Frame' parity,
+    32-bit driver :864-893)."""
+    read_s: List[float] = field(default_factory=list)
+    compose_s: List[float] = field(default_factory=list)
+    frames: int = 0
+
+    def fps(self, last: int = 50) -> float:
+        if not self.compose_s:
+            return 0.0
+        w = self.compose_s[-last:]
+        return len(w) / max(sum(w), 1e-9)
+
+
+class VideoStitcher:
+    def __init__(self, config: Optional[StitchConfig] = None):
+        self.cfg = config or StitchConfig()
+        self.stitcher = Stitcher(self.cfg)
+        self._lock = threading.Lock()
+        self._lut: Optional[CompositeLUT] = None
+        self._reg: Optional[Registration] = None
+        self._out_shape: Optional[tuple] = None
+        self._reg_thread: Optional[threading.Thread] = None
+        self._reg_requested = threading.Event()
+        self._stop = threading.Event()
+        self._last_reg_time = 0.0
+        self.stats = FrameStats()
+        self.registrations = 0
+
+    # -- slow path -----------------------------------------------------
+    def register(self, frames: List[np.ndarray], seed: int = 0) -> None:
+        """Full registration from the given frame set; atomically swaps the
+        LUT in (GetPreStruct + UpdateMat parity)."""
+        reg, _reg_result, _cscale = self.stitcher.estimate_transform(frames, seed)
+        lut = build_lut(reg)
+        lut = self._crop_lut(lut)
+        lut = jax.device_put(lut)
+        with self._lock:
+            if self._out_shape is None:
+                self._out_shape = lut.cam_idx.shape
+            else:
+                lut = self._fit_lut(lut, self._out_shape)
+            self._reg = reg
+            self._lut = lut
+            self._last_reg_time = time.monotonic()
+            self.registrations += 1
+
+    def _crop_lut(self, lut: CompositeLUT) -> CompositeLUT:
+        """Reference crop margins (64-bit driver :47): 10% top/bottom, 10 px
+        left/right."""
+        v = self.cfg.video
+        H, W = lut.cam_idx.shape
+        y0 = int(H * v.crop_top_frac)
+        y1 = H - int(H * v.crop_bottom_frac)
+        x0 = v.crop_left_px
+        x1 = W - v.crop_right_px
+        if y1 <= y0 or x1 <= x0:
+            return lut
+        sl = (slice(y0, y1), slice(x0, x1))
+        return CompositeLUT(cam_idx=lut.cam_idx[sl], src_x=lut.src_x[sl],
+                            src_y=lut.src_y[sl], gain=lut.gain[sl])
+
+    @staticmethod
+    def _fit_lut(lut: CompositeLUT, shape) -> CompositeLUT:
+        """Pad/crop a new LUT to the frozen output shape."""
+        H, W = shape
+        h, w = lut.cam_idx.shape
+
+        def fit(a, fill):
+            out = jnp.full((H, W), fill, a.dtype)
+            return out.at[:min(h, H), :min(w, W)].set(a[:min(h, H), :min(w, W)])
+
+        return CompositeLUT(cam_idx=fit(lut.cam_idx, -1),
+                            src_x=fit(lut.src_x, 0.0),
+                            src_y=fit(lut.src_y, 0.0),
+                            gain=fit(lut.gain, 1.0))
+
+    # -- hot path ------------------------------------------------------
+    def composite(self, frames: List[np.ndarray]) -> np.ndarray:
+        """One frame through the cached LUT (StitchingAll parity)."""
+        with self._lock:
+            lut = self._lut
+        if lut is None:
+            raise RuntimeError("not registered yet")
+        batch = jnp.asarray(np.stack(frames))
+        return np.asarray(composite_frame_u8(batch, lut))
+
+    def composite_device(self, batch: jnp.ndarray) -> jnp.ndarray:
+        """Device-resident hot path (no host transfer) for benching/serving."""
+        with self._lock:
+            lut = self._lut
+        return composite_frame_u8(batch, lut)
+
+    def force_reregister(self) -> None:
+        """'a'-key parity (64-bit driver :768)."""
+        self._reg_requested.set()
+
+    # -- streaming loop ------------------------------------------------
+    def run(self, source: FrameSource,
+            on_frame: Optional[Callable[[np.ndarray, int], None]] = None,
+            max_frames: Optional[int] = None) -> FrameStats:
+        """Main loop with background re-registration every
+        cfg.video.reregister_seconds (reference :832-848)."""
+        period = self.cfg.video.reregister_seconds
+        frames = source.read()
+        if frames is None:
+            raise RuntimeError("frame source empty")
+        if self._lut is None:
+            self.register(frames)
+
+        def reg_worker():
+            while not self._stop.is_set():
+                if not self._reg_requested.wait(timeout=0.1):
+                    continue
+                self._reg_requested.clear()
+                with self._lock:
+                    latest = self._latest_frames
+                try:
+                    self.register(latest)
+                except Exception:
+                    # registration failure: keep streaming with the old LUT and
+                    # retry on the next trigger (reference retry loop :822-826)
+                    pass
+
+        self._latest_frames = frames
+        self._reg_thread = threading.Thread(target=reg_worker, daemon=True)
+        self._reg_thread.start()
+        try:
+            i = 0
+            while max_frames is None or i < max_frames:
+                with Timer() as t_read:
+                    if i > 0:
+                        frames = source.read()
+                        if frames is None:
+                            break
+                with self._lock:
+                    self._latest_frames = frames
+                with Timer() as t_comp:
+                    pano = self.composite(frames)
+                self.stats.read_s.append(t_read.elapsed)
+                self.stats.compose_s.append(t_comp.elapsed)
+                self.stats.frames += 1
+                if on_frame is not None:
+                    on_frame(pano, i)
+                if time.monotonic() - self._last_reg_time > period:
+                    self._last_reg_time = time.monotonic()  # rearm
+                    self._reg_requested.set()
+                i += 1
+        finally:
+            self._stop.set()
+            self._reg_thread.join(timeout=2.0)
+        return self.stats

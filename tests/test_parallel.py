@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stitchingvideo_tpu.parallel.mesh import make_mesh
+from stitchingvideo_tpu.parallel.compose import (
+    gain_stats_sharded, shard_lut, sharded_composite_fn)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh(canvas=8, camera=1)
+
+
+def _state(pw=512):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_lut_and_frames
+    return _tiny_lut_and_frames(n_cams=4, ph=96, pw=pw)
+
+
+def test_sharded_composite_matches_single(mesh8):
+    from stitchingvideo_tpu.video.lut import composite_frame_u8
+    frames, lut = _state()
+    ref = np.asarray(composite_frame_u8(frames, lut))
+    lut_sh = shard_lut(lut, mesh8)
+    fn = sharded_composite_fn(mesh8)
+    out = np.asarray(fn(frames, lut_sh))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_composite_layout(mesh8):
+    frames, lut = _state()
+    lut_sh = shard_lut(lut, mesh8)
+    fn = sharded_composite_fn(mesh8)
+    out = fn(frames, lut_sh)
+    # output is column-sharded across the 8 canvas shards
+    assert len(out.sharding.device_set) == 8
+
+
+def test_gain_stats_sharded_matches_dense(mesh8):
+    rng = np.random.default_rng(0)
+    n, Ppix = 4, 1024
+    lum = rng.uniform(0, 255, (n, Ppix)).astype(np.float32)
+    mask = (rng.uniform(size=(n, Ppix)) > 0.4).astype(np.float32)
+    Nmat, Imat = gain_stats_sharded(mesh8, jnp.asarray(lum), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(Nmat), mask @ mask.T, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Imat), (lum * mask) @ mask.T, rtol=1e-4)
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip, entry
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (96, 256, 3)
+    if len(jax.devices()) >= 8:
+        dryrun_multichip(8)

