@@ -25,8 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import StitchConfig
+from ..geometry.undistort import compose_maps, undistort_map_from_config
 from ..models.registration import Registration
 from ..models.stitcher import Stitcher
+from ..ops.remap import remap
 from ..utils.timing import Timer
 from .lut import CompositeLUT, build_lut, composite_frame_u8
 from .sources import FrameSource
@@ -53,8 +55,10 @@ class VideoStitcher:
         self.stitcher = Stitcher(self.cfg)
         self._lock = threading.Lock()
         self._lut: Optional[CompositeLUT] = None
+        self._tlut = None                  # Pallas tiled LUT (fast path)
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
+        self._und_maps = None              # (xmap, ymap) full-res undistort
         self._reg_thread: Optional[threading.Thread] = None
         self._reg_requested = threading.Event()
         self._stop = threading.Event()
@@ -66,7 +70,25 @@ class VideoStitcher:
     def register(self, frames: List[np.ndarray], seed: int = 0) -> None:
         """Full registration from the given frame set; atomically swaps the
         LUT in (GetPreStruct + UpdateMat parity)."""
+        frame_hw = frames[0].shape[:2]
+        if self.cfg.undistort.enabled:
+            # Registration runs on undistorted frames; the undistort LUT is
+            # composed into the final maps so the hot loop consumes RAW frames
+            # through a single gather (vs the reference's two chained remaps,
+            # 64-bit driver :741,:752).
+            if self._und_maps is None:
+                self._und_maps = undistort_map_from_config(
+                    self.cfg.undistort, frame_hw)
+            ux, uy = self._und_maps
+            frames = [np.asarray(remap(jnp.asarray(f), ux, uy,
+                                       interp="linear", border="constant"))
+                      for f in frames]
         reg, _reg_result, _cscale = self.stitcher.estimate_transform(frames, seed)
+        if self.cfg.undistort.enabled:
+            ux, uy = self._und_maps
+            cx, cy = jax.vmap(lambda mx, my: compose_maps(mx, my, ux, uy))(
+                reg.xmaps, reg.ymaps)
+            reg = reg.replace(xmaps=cx, ymaps=cy)
         lut = build_lut(reg)
         lut = self._crop_lut(lut)
         lut = jax.device_put(lut)
@@ -77,8 +99,21 @@ class VideoStitcher:
                 lut = self._fit_lut(lut, self._out_shape)
             self._reg = reg
             self._lut = lut
+            self._tlut = self._try_tiled(lut, frame_hw)
             self._last_reg_time = time.monotonic()
             self.registrations += 1
+
+    @staticmethod
+    def _try_tiled(lut: CompositeLUT, frame_hw):
+        """Build the Pallas fast-path LUT; None if not representable."""
+        try:
+            from ..ops.pallas.composite import build_tiled_lut
+            tlut = build_tiled_lut(lut, tuple(frame_hw))
+            if int(tlut.n_fallback) != 0:
+                return None
+            return jax.device_put(tlut)
+        except Exception:
+            return None
 
     def _crop_lut(self, lut: CompositeLUT) -> CompositeLUT:
         """Reference crop margins (64-bit driver :47): 10% top/bottom, 10 px
@@ -113,17 +148,20 @@ class VideoStitcher:
     # -- hot path ------------------------------------------------------
     def composite(self, frames: List[np.ndarray]) -> np.ndarray:
         """One frame through the cached LUT (StitchingAll parity)."""
-        with self._lock:
-            lut = self._lut
-        if lut is None:
-            raise RuntimeError("not registered yet")
-        batch = jnp.asarray(np.stack(frames))
-        return np.asarray(composite_frame_u8(batch, lut))
+        return np.asarray(self.composite_device(jnp.asarray(np.stack(frames))))
 
     def composite_device(self, batch: jnp.ndarray) -> jnp.ndarray:
-        """Device-resident hot path (no host transfer) for benching/serving."""
+        """Device-resident hot path (no host transfer). Uses the Pallas MXU
+        kernel when the LUT is tile-representable; XLA gather otherwise."""
         with self._lock:
             lut = self._lut
+            tlut = self._tlut
+        if lut is None:
+            raise RuntimeError("not registered yet")
+        if tlut is not None:
+            from ..ops.pallas.composite import composite_tiled
+            interpret = jax.default_backend() != "tpu"
+            return composite_tiled(batch, tlut, interpret=interpret)
         return composite_frame_u8(batch, lut)
 
     def force_reregister(self) -> None:
