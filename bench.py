@@ -65,31 +65,34 @@ def main():
     lut = jax.device_put(lut)
 
     # Prefer the Pallas MXU composite; fall back to the XLA gather path.
+    # The LUT is a jit *argument* (a closure would inline ~150 MB of constants
+    # into the program).
     path = "pallas"
     try:
         from stitchingvideo_tpu.ops.pallas.composite import (
             build_tiled_lut, composite_tiled)
-        tlut = jax.device_put(build_tiled_lut(lut, frames_np.shape[1:3]))
-        if int(tlut.n_fallback) != 0:
-            raise RuntimeError(f"{int(tlut.n_fallback)} fallback tiles")
+        state = jax.device_put(build_tiled_lut(lut, frames_np.shape[1:3]))
+        if int(state.n_fallback) != 0:
+            raise RuntimeError(f"{int(state.n_fallback)} fallback tiles")
 
         @jax.jit
-        def step(f, i):
-            return composite_tiled((f + i).astype(jnp.uint8), tlut)
+        def step(f, i, s):
+            return composite_tiled((f + i).astype(jnp.uint8), s)
     except Exception:
         path = "xla_gather"
         from stitchingvideo_tpu.video.lut import composite_frame_u8
+        state = lut
 
         @jax.jit
-        def step(f, i):
-            return composite_frame_u8((f + i).astype(jnp.uint8), lut)
+        def step(f, i, s):
+            return composite_frame_u8((f + i).astype(jnp.uint8), s)
 
     # compile + warmup (distinct inputs per iter; outputs kept live and synced
     # so lazy/deferred execution cannot fake the timing)
-    step(frames, 0).block_until_ready()
+    step(frames, 0, state).block_until_ready()
     iters = 30
     t0 = time.perf_counter()
-    outs = [step(frames, i % 7) for i in range(iters)]
+    outs = [step(frames, i % 7, state) for i in range(iters)]
     for o in outs:
         o.block_until_ready()
     dt = (time.perf_counter() - t0) / iters

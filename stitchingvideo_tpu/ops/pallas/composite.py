@@ -52,8 +52,8 @@ class TiledLUT:
 
     sx, sy, gain: [T, P] float32 (source coords are window-local at use time)
     cidx:         [T, P] int32 (-1 = uncovered)
-    tile_cam:     [T, 2] int32  up to two source cameras per tile
-    tile_org:     [T, 4] int32  (oy_a, ox_a, oy_b, ox_b) window origins
+    tile_cam:     [T*2] int32  up to two source cameras per tile (flat)
+    tile_org:     [T*4] int32  (oy_a, ox_a, oy_b, ox_b) window origins (flat)
     n_fallback:   [] int32      tiles not representable (>2 cams / overflow)
     grid_hw / pano_hw / frame_hw: static shapes
     """
@@ -110,7 +110,9 @@ def _build(cam_idx, src_x, src_y, gain, pano_hw, frame_hw):
         o = (jnp.floor(lo).astype(jnp.int32) - 1) // align * align
         o = jnp.clip(o, 0, (limit - size) // align * align)
         hi = jnp.max(jnp.where(mask, coord, -jnp.inf), axis=1)
-        overflow = jnp.isfinite(hi) & (hi > o.astype(jnp.float32) + size - 2)
+        # a coord exactly on the last window row/col has a zero-weight
+        # second tap outside the window, which the hat matrix never forms
+        overflow = jnp.isfinite(hi) & (hi > o.astype(jnp.float32) + size - 1)
         return o, overflow
 
     orgs = []
@@ -122,8 +124,9 @@ def _build(cam_idx, src_x, src_y, gain, pano_hw, frame_hw):
         orgs += [oy, ox]
         ovf = ovf | ovy | ovx
 
-    tile_cam = jnp.stack([cam_a, cam_b], axis=1).astype(jnp.int32)
-    tile_org = jnp.stack(orgs, axis=1).astype(jnp.int32)
+    # flattened 1D for SMEM scalar prefetch (2D SMEM arrays get lane-padded)
+    tile_cam = jnp.stack([cam_a, cam_b], axis=1).astype(jnp.int32).reshape(-1)
+    tile_org = jnp.stack(orgs, axis=1).astype(jnp.int32).reshape(-1)
     return TiledLUT(sx=sxt, sy=syt, gain=gt, cidx=camt,
                     tile_cam=tile_cam, tile_org=tile_org,
                     n_fallback=ovf.sum().astype(jnp.int32),
@@ -140,29 +143,50 @@ def build_tiled_lut(lut, frame_hw: Tuple[int, int]) -> TiledLUT:
                   (Hp, Wp), frame_hw)
 
 
-def _kernel(tile_cam_ref, tile_org_ref,   # scalar prefetch (SMEM)
-            sx_ref, sy_ref, gain_ref, cidx_ref,   # [1, P] VMEM blocks
+def _kernel(tile_cam_ref, tile_org_ref,   # scalar prefetch (SMEM, flat)
+            sx_ref, sy_ref, gain_ref, cidx_ref,   # [1, 1, P] VMEM blocks
             frames_ref,                   # [N, 3, H, W] bf16, HBM (ANY)
-            out_ref,                      # [3, 1, P] f32 VMEM block
-            win, sem):                    # scratch: [2, 3, WIN_H, WIN_W] bf16
+            out_ref,                      # [3, 1, 1, P] f32 VMEM block
+            win, sem):                    # scratch: [2, 2, 3, WIN_H, WIN_W] bf16
+    # Software-pipelined over the tile grid: tile t's source windows were
+    # DMA'd during step t-1 (double buffer), so the per-tile DMA latency that
+    # dominated the naive version overlaps with the previous tile's matmuls.
     t = pl.program_id(0)
-    cam_a = tile_cam_ref[t, 0]
-    cam_b = tile_cam_ref[t, 1]
+    T = pl.num_programs(0)
+    buf = jax.lax.rem(t, 2)
+    nbuf = jax.lax.rem(t + 1, 2)
 
-    def dma(slot, cam, oy, ox):
+    def cams(tt):
+        return tile_cam_ref[2 * tt], tile_cam_ref[2 * tt + 1]
+
+    def org(tt, k):
+        return tile_org_ref[4 * tt + k]
+
+    def dma(b, slot, cam, oy, ox):
         oy = pl.multiple_of(oy, ALIGN_Y)
         ox = pl.multiple_of(ox, ALIGN_X)
         return pltpu.make_async_copy(
             frames_ref.at[cam, :, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
-            win.at[slot], sem.at[slot])
+            win.at[b, slot], sem.at[b, slot])
 
-    dma(0, cam_a, tile_org_ref[t, 0], tile_org_ref[t, 1]).start()
-    two = cam_b != cam_a
+    def start_tile(tt, b):
+        ca, cb = cams(tt)
+        dma(b, 0, ca, org(tt, 0), org(tt, 1)).start()
 
-    @pl.when(two)
+        @pl.when(cb != ca)
+        def _():
+            dma(b, 1, cb, org(tt, 2), org(tt, 3)).start()
+
+    @pl.when(t == 0)
     def _():
-        dma(1, cam_b, tile_org_ref[t, 2], tile_org_ref[t, 3]).start()
+        start_tile(0, 0)
 
+    @pl.when(t + 1 < T)
+    def _():
+        start_tile(t + 1, nbuf)
+
+    cam_a, cam_b = cams(t)
+    two = cam_b != cam_a
     wx_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, P), 0).astype(jnp.float32)
     wy_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, P), 0).astype(jnp.float32)
 
@@ -171,7 +195,7 @@ def _kernel(tile_cam_ref, tile_org_ref,   # scalar prefetch (SMEM)
         yl = sy_ref[0, 0, :] - oy.astype(jnp.float32)
         vx = jnp.maximum(0.0, 1.0 - jnp.abs(wx_iota - xl[None, :]))
         vy = jnp.maximum(0.0, 1.0 - jnp.abs(wy_iota - yl[None, :]))
-        src = win[slot].reshape(3 * WIN_H, WIN_W)      # major-dims collapse
+        src = win[buf, slot].reshape(3 * WIN_H, WIN_W)  # major-dims collapse
         c_all = jax.lax.dot_general(
             src, vx.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
@@ -183,15 +207,14 @@ def _kernel(tile_cam_ref, tile_org_ref,   # scalar prefetch (SMEM)
 
     g = gain_ref[0, 0, :][None, :]
     covered = (cidx_ref[0, 0, :] >= 0).astype(jnp.float32)[None, :]
-    dma(0, cam_a, tile_org_ref[t, 0], tile_org_ref[t, 1]).wait()
-    out_ref[:, 0, 0, :] = slot_contrib(
-        0, cam_a, tile_org_ref[t, 0], tile_org_ref[t, 1]) * g * covered
+    dma(buf, 0, cam_a, org(t, 0), org(t, 1)).wait()
+    out_ref[:, 0, 0, :] = slot_contrib(0, cam_a, org(t, 0), org(t, 1)) * g * covered
 
     @pl.when(two)
     def _():
         # seam-crossing tile: second camera's contribution (rare, ~1% of tiles)
-        dma(1, cam_b, tile_org_ref[t, 2], tile_org_ref[t, 3]).wait()
-        contrib = slot_contrib(1, cam_b, tile_org_ref[t, 2], tile_org_ref[t, 3])
+        dma(buf, 1, cam_b, org(t, 2), org(t, 3)).wait()
+        contrib = slot_contrib(1, cam_b, org(t, 2), org(t, 3))
         out_ref[:, 0, 0, :] = out_ref[:, 0, 0, :] + contrib * g * covered
 
 
@@ -216,8 +239,8 @@ def composite_tiled(frames: jnp.ndarray, tlut: TiledLUT,
         out_specs=pl.BlockSpec((3, 1, 1, P), lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, WIN_H, WIN_W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 2, 3, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(

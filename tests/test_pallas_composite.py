@@ -36,9 +36,9 @@ def test_build_tiled_lut(rng):
     tlut = build_tiled_lut(lut, (128, 512))
     assert int(tlut.n_fallback) == 0
     T = tlut.sx.shape[0]
-    assert tlut.tile_cam.shape == (T, 2)
+    assert tlut.tile_cam.shape == (T * 2,)
     # origins in range
-    org = np.asarray(tlut.tile_org)
+    org = np.asarray(tlut.tile_org).reshape(-1, 4)
     assert org.min() >= 0
     assert org[:, [0, 2]].max() <= 128 - 80
     assert org[:, [1, 3]].max() <= 512 - 384
