@@ -23,6 +23,8 @@ class FeatureConfig:
     descriptor_bits: int = 256
     nms_radius: int = 1               # 3x3 non-max suppression
     border: int = 24                  # keypoints excluded this close to edge
+    num_levels: int = 1               # image-pyramid levels (ORB nlevels parity)
+    scale_factor: float = 1.5         # pyramid decimation ratio
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,7 +29,9 @@ from ..geometry.warp import detect_result_roi, rasterize_backward_map
 from ..ops.filters import dilate
 from ..ops.remap import remap
 from ..photometric.exposure import blocks_gain_maps, gain_compensator, upsample_gain
-from ..register.pipeline import RegistrationResult, register_images
+from ..register.pipeline import (RegistrationResult, compute_features,
+                                 estimate_cameras, match_all_pairs)
+from ..utils.timing import GLOBAL_TRACER as _tracer
 from ..seams.graphcut import graphcut_seams
 from ..seams.voronoi import voronoi_seams
 from ..seams.dp import dp_seams
@@ -78,7 +80,14 @@ class Stitcher:
         seam_work_aspect = seam_scale / work_scale
 
         work_imgs = [_resize(im, work_scale) for im in images]
-        reg = register_images(work_imgs, cfg, seed)
+        # staged registration with tracing spans (reference LOG/LOGLN timers,
+        # SURVEY §5.1 — 'Finding features', 'Pairwise matching', ...)
+        with _tracer.span("find_features"):
+            feats = compute_features(work_imgs, cfg)
+        with _tracer.span("pairwise_matching"):
+            pairs = match_all_pairs(feats, cfg, seed)
+        with _tracer.span("estimate_cameras"):
+            reg = estimate_cameras(feats, pairs, cfg)
         kept = reg.indices
         full_kept = [images[i] for i in kept]
         n = len(kept)
@@ -88,6 +97,7 @@ class Stitcher:
         kind = cfg.compose.warp_type
 
         # ---- seam-scale warps (CLI :545-580) ----
+        _seam_span = _tracer.span("seam_prep"); _seam_span.__enter__()
         seam_imgs = [_resize(im, seam_scale) for im in full_kept]
         s_scale = warped_image_scale * seam_work_aspect
         s_corners: List[Tuple[int, int]] = []
@@ -127,7 +137,9 @@ class Stitcher:
             canvas_imgs[i, cy:cy + hh, cx:cx + ww] = s_warped[i]
             canvas_masks[i, cy:cy + hh, cx:cx + ww] = s_masks[i]
 
+        _seam_span.__exit__(None, None, None)
         # ---- exposure compensation at seam scale (CLI :586-590) ----
+        _ec_span = _tracer.span("exposure_compensation"); _ec_span.__enter__()
         ec = cfg.compose.expos_comp
         if ec == "gain":
             gains = np.asarray(gain_compensator(jnp.asarray(canvas_imgs),
@@ -143,7 +155,9 @@ class Stitcher:
         else:
             gain_canvas = np.ones((n, SH, SW), np.float32)
 
+        _ec_span.__exit__(None, None, None)
         # ---- seam finding at seam scale (CLI :594-637) ----
+        _sf_span = _tracer.span("seam_finding"); _sf_span.__enter__()
         sf = cfg.compose.seam_find
         if sf == "voronoi":
             seam_canvas = np.asarray(voronoi_seams(jnp.asarray(canvas_masks)))
@@ -160,7 +174,9 @@ class Stitcher:
         else:
             raise ValueError(f"unknown seam finder {sf}")
 
+        _sf_span.__exit__(None, None, None)
         # ---- compose-scale warp fields (CLI :656-716) ----
+        _cw_span = _tracer.span("warp_field_build"); _cw_span.__enter__()
         compose_scale = _scale_for(cfg.scales.compose_megapix, w0, h0)
         compose_work_aspect = compose_scale / work_scale
         c_scale = warped_image_scale * compose_work_aspect
@@ -235,6 +251,7 @@ class Stitcher:
             ppy=cams.ppy * compose_work_aspect,
             R=cams.R, t=cams.t)
 
+        _cw_span.__exit__(None, None, None)
         return Registration(
             cameras=cams_c,
             corners=jnp.asarray(corners),

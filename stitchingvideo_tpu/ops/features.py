@@ -194,7 +194,7 @@ def descriptors(blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jn
 @partial(jax.jit, static_argnames=("max_kp", "border", "grid"))
 def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
                         max_kp: int = 1024, border: int = 24, grid=(3, 1)):
-    """Full per-image feature pipeline.
+    """Full per-image feature pipeline (single scale).
 
     Returns dict(xy, response, angle, valid, desc) with static shapes.
     """
@@ -204,3 +204,47 @@ def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
     desc = descriptors(blurred, xy, ang)
     desc = jnp.where(valid[:, None], desc, 0)
     return {"xy": xy, "response": response, "angle": ang, "valid": valid, "desc": desc}
+
+
+@partial(jax.jit, static_argnames=("max_kp", "border", "grid", "levels",
+                                   "scale_factor"))
+def detect_and_describe_pyramid(gray: jnp.ndarray, threshold: float = 20.0,
+                                max_kp: int = 1024, border: int = 24,
+                                grid=(3, 1), levels: int = 3,
+                                scale_factor: float = 1.5):
+    """Multi-scale features like OpenCV ORB's image pyramid (the reference's
+    OrbFeaturesFinder default nlevels, matchers.cpp:370-434): keypoints
+    detected per level with a per-level budget, coordinates mapped back to
+    level 0. Descriptors are sampled at the detection scale so matching is
+    scale-tolerant."""
+    per_level = max_kp // levels
+    parts = []
+    img = gray.astype(jnp.float32)
+    scale = 1.0
+    for lvl in range(levels):
+        f = detect_and_describe(img, threshold, per_level, border, grid)
+        parts.append({
+            "xy": f["xy"] * scale,
+            "response": f["response"],
+            "angle": f["angle"],
+            "valid": f["valid"],
+            "desc": f["desc"],
+        })
+        if lvl + 1 < levels:
+            scale *= scale_factor
+            nh = max(int(round(gray.shape[0] / scale)), 2 * border + 3)
+            nw = max(int(round(gray.shape[1] / scale)), 2 * border + 3)
+            img = jax.image.resize(gray.astype(jnp.float32), (nh, nw),
+                                   method="linear")
+    out = {k: jnp.concatenate([p[k] for p in parts], axis=0) for k in parts[0]}
+    # pad back to max_kp slots
+    pad = max_kp - out["xy"].shape[0]
+    if pad > 0:
+        out = {
+            "xy": jnp.pad(out["xy"], ((0, pad), (0, 0))),
+            "response": jnp.pad(out["response"], (0, pad)),
+            "angle": jnp.pad(out["angle"], (0, pad)),
+            "valid": jnp.pad(out["valid"], (0, pad)),
+            "desc": jnp.pad(out["desc"], ((0, pad), (0, 0))),
+        }
+    return out

@@ -59,9 +59,15 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     for img in images:
         arr = jnp.asarray(img)
         gray = color.rgb_to_gray(arr) if arr.ndim == 3 else arr.astype(jnp.float32)
-        f = feat_ops.detect_and_describe(
-            gray, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
-            border=fc.border, grid=fc.grid)
+        if fc.num_levels > 1:
+            f = feat_ops.detect_and_describe_pyramid(
+                gray, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
+                border=fc.border, grid=fc.grid, levels=fc.num_levels,
+                scale_factor=fc.scale_factor)
+        else:
+            f = feat_ops.detect_and_describe(
+                gray, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
+                border=fc.border, grid=fc.grid)
         f = dict(f)
         f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
         out.append(f)

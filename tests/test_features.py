@@ -96,3 +96,21 @@ def test_ransac_degenerate_pair():
     out = ransac_homography(jax.random.PRNGKey(1), p, p, valid)
     assert not bool(out["ok"])
     assert int(out["num_inliers"]) == 0
+
+
+def test_pyramid_features_scale_tolerance(rng):
+    """Keypoints from a 1.4x-scaled copy still match via pyramid levels."""
+    img = _textured(rng, 288, 384)
+    import jax
+    big = np.asarray(jax.image.resize(jnp.asarray(img, jnp.float32),
+                                      (403, 537), method="linear"))
+    f1 = F.detect_and_describe_pyramid(jnp.asarray(img), 15.0, 512, levels=3)
+    f2 = F.detect_and_describe_pyramid(jnp.asarray(big), 15.0, 512, levels=3)
+    src, dst, dist, valid = match_pair(f1["desc"], f1["valid"], f2["desc"], f2["valid"])
+    valid = np.asarray(valid)
+    assert valid.sum() > 15, valid.sum()
+    xy1 = np.asarray(f1["xy"])[np.asarray(src)[valid]]
+    xy2 = np.asarray(f2["xy"])[np.asarray(dst)[valid]]
+    ratio = xy2 / np.maximum(xy1, 1e-6)
+    good = np.abs(ratio - 1.4) < 0.12
+    assert (good.all(axis=1)).mean() > 0.4
