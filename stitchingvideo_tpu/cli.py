@@ -64,6 +64,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--save_graph", default=None,
                    help="write DOT match graph to this file")
     p.add_argument("--output", default="result.jpg")
+    p.add_argument("--log_timing", action="store_true",
+                   help="print per-stage timing JSON (reference resultTime.txt parity)")
 
 
 def _load_images(paths):
@@ -92,6 +94,9 @@ def cmd_stitch(args) -> int:
     import imageio.v3 as iio
     iio.imwrite(args.output, pano)
     print(f"wrote {args.output}")
+    if args.log_timing:
+        from .utils.timing import GLOBAL_TRACER
+        print(GLOBAL_TRACER.dumps())
     return 0
 
 
@@ -120,6 +125,9 @@ def cmd_video(args) -> int:
     stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
     print(f"frames: {stats.frames}, fps: {stats.fps():.1f}, "
           f"registrations: {vs.registrations}")
+    if args.log_timing:
+        from .utils.timing import GLOBAL_TRACER
+        print(GLOBAL_TRACER.dumps())
     return 0
 
 

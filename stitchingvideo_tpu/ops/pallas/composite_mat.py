@@ -56,26 +56,13 @@ class MatLUT:
     frame_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
 
 
-@jax.jit
-def _materialize(tlut: TiledLUT) -> MatLUT:
-    T = tlut.sx.shape[0]
-    cam = tlut.cidx[:, 0, :]                       # [T, P]
-    cam_a = tlut.tile_cam.reshape(T, 2)[:, 0]
-    org = tlut.tile_org.reshape(T, 4)
-    is_a = cam == cam_a[:, None]
-    ox = jnp.where(is_a, org[:, 1:2], org[:, 3:4]).astype(jnp.float32)  # [T,P]
-    oy = jnp.where(is_a, org[:, 0:1], org[:, 2:3]).astype(jnp.float32)
-
-    xl = tlut.sx[:, 0, :] - ox                      # window-local per own slot
-    yl = tlut.sy[:, 0, :] - oy
-    xl = jnp.clip(xl, 0.0, WIN_W - 1.0)
-    yl = jnp.clip(yl, 0.0, WIN_H - 1.0)
-
+def _mat_chunk(xl, yl):
+    """Per-tile-chunk weight materialization. xl/yl: [C, P] window-local."""
     # x: int8 rows summing exactly 127
     x0 = jnp.floor(xl)
     fx = xl - x0
     a = jnp.round(127.0 * (1.0 - fx)).astype(jnp.int32)
-    wxi = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_W, P), 1)
+    wxi = jax.lax.broadcasted_iota(jnp.int32, (xl.shape[0], WIN_W, P), 1)
     x0b = x0.astype(jnp.int32)[:, None, :]
     vx = jnp.where(wxi == x0b, a[:, None, :], 0) + \
         jnp.where(wxi == x0b + 1, 127 - a[:, None, :], 0)
@@ -86,12 +73,38 @@ def _materialize(tlut: TiledLUT) -> MatLUT:
     # y: bf16 two-tap hat
     y0 = jnp.floor(yl)
     fy = (yl - y0).astype(jnp.float32)
-    wyi = jax.lax.broadcasted_iota(jnp.int32, (T, WIN_H, P), 1)
+    wyi = jax.lax.broadcasted_iota(jnp.int32, (yl.shape[0], WIN_H, P), 1)
     y0b = y0.astype(jnp.int32)[:, None, :]
     vy = jnp.where(wyi == y0b, 1.0 - fy[:, None, :], 0.0) + \
         jnp.where(wyi == y0b + 1, fy[:, None, :], 0.0)
     vy = jnp.where((wyi == y0b) & (y0b == WIN_H - 1), 1.0, vy)
-    vy = vy.astype(jnp.bfloat16)
+    return vx, vy.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _materialize(tlut: TiledLUT) -> MatLUT:
+    T = tlut.sx.shape[0]
+    cam = tlut.cidx[:, 0, :]                       # [T, P]
+    cam_a = tlut.tile_cam.reshape(T, 2)[:, 0]
+    org = tlut.tile_org.reshape(T, 4)
+    is_a = cam == cam_a[:, None]
+    ox = jnp.where(is_a, org[:, 1:2], org[:, 3:4]).astype(jnp.float32)  # [T,P]
+    oy = jnp.where(is_a, org[:, 0:1], org[:, 2:3]).astype(jnp.float32)
+
+    xl = jnp.clip(tlut.sx[:, 0, :] - ox, 0.0, WIN_W - 1.0)
+    yl = jnp.clip(tlut.sy[:, 0, :] - oy, 0.0, WIN_H - 1.0)
+
+    # chunked over tiles: bounds the live intermediates (the monolithic
+    # version materializes multi-GB int32 temporaries and stalls compilation)
+    CHUNK = 128
+    Tpad = -(-T // CHUNK) * CHUNK
+    xlp = jnp.pad(xl, ((0, Tpad - T), (0, 0)))
+    ylp = jnp.pad(yl, ((0, Tpad - T), (0, 0)))
+    vx, vy = jax.lax.map(
+        lambda args: _mat_chunk(*args),
+        (xlp.reshape(-1, CHUNK, P), ylp.reshape(-1, CHUNK, P)))
+    vx = vx.reshape(Tpad, WIN_W, P)[:T]
+    vy = vy.reshape(Tpad, WIN_H, P)[:T]
 
     covered = (cam >= 0).astype(jnp.float32)[:, None, :]
     sel_a = is_a.astype(jnp.float32)[:, None, :]
@@ -108,7 +121,7 @@ def build_mat_lut(lut, frame_hw: Tuple[int, int]) -> MatLUT:
 def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
             vx_ref, vy_ref, gain_ref, covered_ref, sel_ref,  # auto-blocked
             frames_ref,                            # [N, 3, H, W] int8, ANY
-            out_ref,                               # [3, 1, 1, P] uint8
+            out_ref,                               # [3, 1, 1, P] f32
             win, sem):                             # [2, 2, 3, WIN_H, WIN_W] i8
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -175,7 +188,8 @@ def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
         lambda: acc + slot_val(1) * (1.0 - sel),
         lambda: acc)
     out = (res + 128.0) * g * covered
-    out_ref[:, 0, 0, :] = jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
+    # Mosaic lacks f32->uint8 casts; emit f32, cast in XLA (elementwise, cheap)
+    out_ref[:, 0, 0, :] = out
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -223,7 +237,7 @@ def composite_mat_planar(planar_i8: jnp.ndarray, mlut: MatLUT,
     )
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((3, T, 1, P), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((3, T, 1, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -233,6 +247,7 @@ def composite_mat_planar(planar_i8: jnp.ndarray, mlut: MatLUT,
 
     nty, ntx = mlut.grid_hw
     Hp, Wp = mlut.pano_hw
+    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     # planar re-blocking: minor dim stays 128-granular — near-memcpy
     pano = out.reshape(3, nty, ntx, TILE_H, TILE_W) \
               .transpose(0, 1, 3, 2, 4) \

@@ -105,13 +105,21 @@ class VideoStitcher:
 
     @staticmethod
     def _try_tiled(lut: CompositeLUT, frame_hw):
-        """Build the Pallas fast-path LUT; None if not representable."""
+        """Build the Pallas fast-path state; None if not representable.
+
+        Prefers the materialized-weights kernel (int8 MXU + streamed
+        interpolation matrices) and falls back to the on-the-fly kernel,
+        then to XLA gather."""
         try:
             from ..ops.pallas.composite import build_tiled_lut
+            from ..ops.pallas.composite_mat import _materialize
             tlut = build_tiled_lut(lut, tuple(frame_hw))
             if int(tlut.n_fallback) != 0:
                 return None
-            return jax.device_put(tlut)
+            try:
+                return ("mat", jax.device_put(_materialize(tlut)))
+            except Exception:
+                return ("tiled", jax.device_put(tlut))
         except Exception:
             return None
 
@@ -147,22 +155,37 @@ class VideoStitcher:
 
     # -- hot path ------------------------------------------------------
     def composite(self, frames: List[np.ndarray]) -> np.ndarray:
-        """One frame through the cached LUT (StitchingAll parity)."""
+        """One frame through the cached LUT (StitchingAll parity). HWC uint8."""
         return np.asarray(self.composite_device(jnp.asarray(np.stack(frames))))
 
     def composite_device(self, batch: jnp.ndarray) -> jnp.ndarray:
-        """Device-resident hot path (no host transfer). Uses the Pallas MXU
-        kernel when the LUT is tile-representable; XLA gather otherwise."""
+        """Device-resident hot path (no host transfer), HWC output.
+
+        Path preference: materialized int8 MXU kernel > on-the-fly MXU kernel
+        > XLA gather. `composite_planar` skips the HWC interleave."""
+        out = self.composite_planar(batch)
+        if out.ndim == 3 and out.shape[0] == 3:
+            from ..ops.pallas.composite_mat import planar_to_hwc
+            return planar_to_hwc(out)
+        return out
+
+    def composite_planar(self, batch: jnp.ndarray) -> jnp.ndarray:
+        """Hot path returning channel-planar [3, H, W] when on a Pallas path
+        (the native layout for encoders); HWC on the gather fallback."""
         with self._lock:
             lut = self._lut
             tlut = self._tlut
         if lut is None:
             raise RuntimeError("not registered yet")
-        if tlut is not None:
+        interpret = jax.default_backend() != "tpu"
+        if tlut is not None and tlut[0] == "mat":
+            from ..ops.pallas.composite_mat import composite_mat
+            return composite_mat(batch, tlut[1], interpret=interpret)
+        if tlut is not None and tlut[0] == "tiled":
             from ..ops.pallas.composite import composite_tiled
-            interpret = jax.default_backend() != "tpu"
-            return composite_tiled(batch, tlut, interpret=interpret)
-        return composite_frame_u8(batch, lut)
+            out = composite_tiled(batch, tlut[1], interpret=interpret)
+            return jnp.transpose(out, (2, 0, 1))
+        return jnp.transpose(composite_frame_u8(batch, lut), (2, 0, 1))
 
     def force_reregister(self) -> None:
         """'a'-key parity (64-bit driver :768)."""
@@ -181,11 +204,14 @@ class VideoStitcher:
         if self._lut is None:
             self.register(frames)
 
+        self._reg_busy = threading.Event()
+
         def reg_worker():
             while not self._stop.is_set():
                 if not self._reg_requested.wait(timeout=0.1):
                     continue
-                self._reg_requested.clear()
+                self._reg_busy.set()       # before clearing the request: the
+                self._reg_requested.clear()  # drain loop must never see both unset
                 with self._lock:
                     latest = self._latest_frames
                 try:
@@ -194,6 +220,8 @@ class VideoStitcher:
                     # registration failure: keep streaming with the old LUT and
                     # retry on the next trigger (reference retry loop :822-826)
                     pass
+                finally:
+                    self._reg_busy.clear()
 
         self._latest_frames = frames
         self._reg_thread = threading.Thread(target=reg_worker, daemon=True)
@@ -220,6 +248,12 @@ class VideoStitcher:
                     self._reg_requested.set()
                 i += 1
         finally:
+            # drain any in-flight re-registration before tearing the worker
+            # down (an interpreter exit with a live jax thread aborts hard)
+            deadline = time.monotonic() + 120.0
+            while (self._reg_requested.is_set() or self._reg_busy.is_set()) \
+                    and time.monotonic() < deadline:
+                time.sleep(0.05)
             self._stop.set()
-            self._reg_thread.join(timeout=2.0)
+            self._reg_thread.join(timeout=30.0)
         return self.stats

@@ -141,3 +141,21 @@ def test_synthetic_source():
     src = SyntheticSource(3, 64, 48)
     f = src.read()
     assert len(f) == 3 and f[0].shape == (48, 64, 3)
+
+
+def test_dynamic_seam_8cam_mode():
+    """BASELINE config 5: periodic re-registration + seam refresh, 8-cam
+    output. Small frames; exercises the full re-register->swap->composite
+    cycle twice."""
+    import dataclasses as dc
+    views, *_ = synthetic.make_scene(n=8, img_wh=(256, 192), fov_deg=50,
+                                     overlap_frac=0.45, seed=11)
+    cfg = _cfg()
+    cfg = cfg.replace(video=dc.replace(cfg.video, reregister_seconds=0.0))
+    vs = VideoStitcher(cfg)
+    src = ReplaySource(views, jitter=2, max_frames=6)
+    stats = vs.run(src, max_frames=6)
+    assert stats.frames == 6
+    assert vs.registrations >= 2          # the 30s policy fired (period=0)
+    pano = vs.composite(list(views))
+    assert pano.shape[1] > 800            # wide 8-cam canvas
