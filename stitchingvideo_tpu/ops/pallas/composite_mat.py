@@ -1,29 +1,30 @@
 """Materialized-weights composite kernel: the fast per-frame hot loop.
 
-The on-the-fly kernel (composite.py) spends ~90% of its time building the
-hat-function weight matrices on the VPU every frame — but those matrices only
-depend on the registration, not the frame. This variant materializes them
-once per registration:
+Two measured facts drive this design (see git history for the experiments):
+  * The on-the-fly kernel (composite.py) spends most of its frame budget on
+    per-grid-step overhead (~4 us x 8960 tile-steps) plus the VPU hat-matrix
+    build — not on the MXU contraction.
+  * The interpolation matrices only depend on the registration, not on the
+    frame.
 
-  vx: [T, WIN_W, P] int8  — x-interpolation, rows quantized to sum exactly 127
-  vy: [T, WIN_H, P] bf16  — y-interpolation (small, kept high precision)
+So this kernel (a) materializes the weights once per registration —
+vx: [*, WIN_W, P] int8 rows summing exactly 127, vy bf16 — and streams them
+through auto-pipelined BlockSpecs, and (b) processes GROUP tiles per grid
+step to amortize step overhead, with all GROUP x 2 source windows of the next
+group DMA'd while the current group computes.
 
-and streams them through auto-pipelined BlockSpecs while source windows are
-double-buffer DMA'd as before. Frames are pre-offset int8 (src - 128), so the
-x-contraction runs on the int8 MXU (2x bf16 rate) with exact +128 restore:
-rows of vx sum to 127 exactly and vy to ~1, hence
+Frames are pre-offset int8 (src - 128) so the x-contraction uses the int8 MXU
+with exact +128 restore:
 
   out = (sum_wy vy * (sum_wx vx_i8 * src8)) / 127 + 128.
 
-Per-frame cost shifts from VPU compute to HBM streaming (~5 GB/frame of
-weights at v5e's ~800 GB/s) + int8 matmuls. Output is planar uint8 tiles
-[3, T, 1, P]; the planar->canvas re-blocking is a cheap same-minor-dim XLA
-reshape (the HWC interleave that cost ~28 ms is gone — consumers get
-channel-planar frames, the native layout for video encoders).
+Output is channel-planar uint8 [3, Hp, Wp] — the native layout for video
+encoders; the HWC interleave (which costs ~28 ms as an XLA transpose) is a
+separate convenience (`planar_to_hwc`).
 
-Weight quantization error: <=1/127 per tap => <=~1 gray level, matching the
-reference's own speed-over-exactness stance in its hot loop (it dropped
-bounds checks, 64-bit driver :170).
+Weight quantization error: <= ~1 gray level, matching the reference's own
+speed-over-exactness stance in its hot loop (it dropped bounds checks,
+64-bit driver :170).
 """
 from __future__ import annotations
 
@@ -39,26 +40,33 @@ from jax.experimental.pallas import tpu as pltpu
 from .composite import (ALIGN_X, ALIGN_Y, P, TILE_H, TILE_W, WIN_H, WIN_W,
                         TiledLUT, build_tiled_lut)
 
+GROUP = 4        # tiles per grid step
+GPAD = 8         # sublane-padded group row count for (1, 8, P) blocks
+
 
 @flax.struct.dataclass
 class MatLUT:
-    """TiledLUT + materialized interpolation matrices."""
-    vx: jnp.ndarray          # [T, WIN_W, P] int8
-    vy: jnp.ndarray          # [T, WIN_H, P] bf16
-    gain: jnp.ndarray        # [T, 1, P] f32
-    covered: jnp.ndarray     # [T, 1, P] f32 (0/1)
-    sel_a: jnp.ndarray       # [T, 1, P] f32: 1 where pixel belongs to slot A
-    tile_cam: jnp.ndarray    # [T*2] int32
-    tile_org: jnp.ndarray    # [T*4] int32
+    """Grouped, materialized composite state.
+
+    vx:   [Tg, GROUP*WIN_W, P] int8
+    vy:   [Tg, GROUP*WIN_H, P] bf16
+    gcs:  [Tg, GPAD, P] f32 — rows 0..G-1: gain*covered; rows G..2G-1: sel_a
+    tile_cam: [Tg*GROUP*2] int32 (flat);  tile_org: [Tg*GROUP*4] int32
+    """
+    vx: jnp.ndarray
+    vy: jnp.ndarray
+    gcs: jnp.ndarray
+    tile_cam: jnp.ndarray
+    tile_org: jnp.ndarray
     n_fallback: jnp.ndarray
     grid_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     pano_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     frame_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
+    n_tiles: int = flax.struct.field(pytree_node=False)
 
 
 def _mat_chunk(xl, yl):
     """Per-tile-chunk weight materialization. xl/yl: [C, P] window-local."""
-    # x: int8 rows summing exactly 127
     x0 = jnp.floor(xl)
     fx = xl - x0
     a = jnp.round(127.0 * (1.0 - fx)).astype(jnp.int32)
@@ -66,11 +74,10 @@ def _mat_chunk(xl, yl):
     x0b = x0.astype(jnp.int32)[:, None, :]
     vx = jnp.where(wxi == x0b, a[:, None, :], 0) + \
         jnp.where(wxi == x0b + 1, 127 - a[:, None, :], 0)
-    # guard the right edge: x0 == WIN_W-1 puts the whole mass on the last col
+    # right edge: x0 == WIN_W-1 puts the whole mass on the last column
     vx = jnp.where((wxi == x0b) & (x0b == WIN_W - 1), 127, vx)
     vx = vx.astype(jnp.int8)
 
-    # y: bf16 two-tap hat
     y0 = jnp.floor(yl)
     fy = (yl - y0).astype(jnp.float32)
     wyi = jax.lax.broadcasted_iota(jnp.int32, (yl.shape[0], WIN_H, P), 1)
@@ -88,30 +95,46 @@ def _materialize(tlut: TiledLUT) -> MatLUT:
     cam_a = tlut.tile_cam.reshape(T, 2)[:, 0]
     org = tlut.tile_org.reshape(T, 4)
     is_a = cam == cam_a[:, None]
-    ox = jnp.where(is_a, org[:, 1:2], org[:, 3:4]).astype(jnp.float32)  # [T,P]
+    ox = jnp.where(is_a, org[:, 1:2], org[:, 3:4]).astype(jnp.float32)
     oy = jnp.where(is_a, org[:, 0:1], org[:, 2:3]).astype(jnp.float32)
 
     xl = jnp.clip(tlut.sx[:, 0, :] - ox, 0.0, WIN_W - 1.0)
     yl = jnp.clip(tlut.sy[:, 0, :] - oy, 0.0, WIN_H - 1.0)
 
-    # chunked over tiles: bounds the live intermediates (the monolithic
-    # version materializes multi-GB int32 temporaries and stalls compilation)
+    Tg = -(-T // GROUP)
+    Tpad = Tg * GROUP
+
+    def padT(a, fill=0):
+        return jnp.pad(a, ((0, Tpad - T),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    xl, yl = padT(xl), padT(yl)
+
+    # chunked weight build bounds live intermediates (a monolithic build
+    # materializes multi-GB int32 temporaries and stalls compilation)
     CHUNK = 128
-    Tpad = -(-T // CHUNK) * CHUNK
-    xlp = jnp.pad(xl, ((0, Tpad - T), (0, 0)))
-    ylp = jnp.pad(yl, ((0, Tpad - T), (0, 0)))
+    Tc = -(-Tpad // CHUNK) * CHUNK
+    xlc = jnp.pad(xl, ((0, Tc - Tpad), (0, 0)))
+    ylc = jnp.pad(yl, ((0, Tc - Tpad), (0, 0)))
     vx, vy = jax.lax.map(
         lambda args: _mat_chunk(*args),
-        (xlp.reshape(-1, CHUNK, P), ylp.reshape(-1, CHUNK, P)))
-    vx = vx.reshape(Tpad, WIN_W, P)[:T]
-    vy = vy.reshape(Tpad, WIN_H, P)[:T]
+        (xlc.reshape(-1, CHUNK, P), ylc.reshape(-1, CHUNK, P)))
+    vx = vx.reshape(Tc, WIN_W, P)[:Tpad].reshape(Tg, GROUP * WIN_W, P)
+    vy = vy.reshape(Tc, WIN_H, P)[:Tpad].reshape(Tg, GROUP * WIN_H, P)
 
-    covered = (cam >= 0).astype(jnp.float32)[:, None, :]
-    sel_a = is_a.astype(jnp.float32)[:, None, :]
-    return MatLUT(vx=vx, vy=vy, gain=tlut.gain, covered=covered, sel_a=sel_a,
-                  tile_cam=tlut.tile_cam, tile_org=tlut.tile_org,
+    covered = padT((cam >= 0).astype(jnp.float32))
+    gain = padT(tlut.gain[:, 0, :])
+    sel = padT(is_a.astype(jnp.float32), 1)
+    gc = (gain * covered).reshape(Tg, GROUP, P)
+    sel = sel.reshape(Tg, GROUP, P)
+    gcs = jnp.concatenate([gc, sel], axis=1)       # [Tg, 2*GROUP, P] = GPAD
+
+    tile_cam = padT(tlut.tile_cam.reshape(T, 2)).reshape(-1)
+    tile_org = padT(tlut.tile_org.reshape(T, 4)).reshape(-1)
+    return MatLUT(vx=vx, vy=vy, gcs=gcs,
+                  tile_cam=tile_cam, tile_org=tile_org,
                   n_fallback=tlut.n_fallback, grid_hw=tlut.grid_hw,
-                  pano_hw=tlut.pano_hw, frame_hw=tlut.frame_hw)
+                  pano_hw=tlut.pano_hw, frame_hw=tlut.frame_hw, n_tiles=T)
 
 
 def build_mat_lut(lut, frame_hw: Tuple[int, int]) -> MatLUT:
@@ -119,14 +142,14 @@ def build_mat_lut(lut, frame_hw: Tuple[int, int]) -> MatLUT:
 
 
 def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
-            vx_ref, vy_ref, gain_ref, covered_ref, sel_ref,  # auto-blocked
+            vx_ref, vy_ref, gcs_ref,               # auto-blocked per group
             frames_ref,                            # [N, 3, H, W] int8, ANY
-            out_ref,                               # [3, 1, 1, P] f32
-            win, sem):                             # [2, 2, 3, WIN_H, WIN_W] i8
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
-    buf = jax.lax.rem(t, 2)
-    nbuf = jax.lax.rem(t + 1, 2)
+            out_ref,                               # [3, 1, GPAD, P] f32
+            win, sem):                             # [2, GROUP, 2, 3, WIN_H, WIN_W]
+    tg = pl.program_id(0)
+    Tg = pl.num_programs(0)
+    buf = jax.lax.rem(tg, 2)
+    nbuf = jax.lax.rem(tg + 1, 2)
 
     def cams(tt):
         return tile_cam_ref[2 * tt], tile_cam_ref[2 * tt + 1]
@@ -134,62 +157,61 @@ def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
     def org(tt, k):
         return tile_org_ref[4 * tt + k]
 
-    def dma(b, slot, cam, oy, ox):
+    def dma(b, g, slot, cam, oy, ox):
         oy = pl.multiple_of(oy, ALIGN_Y)
         ox = pl.multiple_of(ox, ALIGN_X)
         return pltpu.make_async_copy(
             frames_ref.at[cam, :, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
-            win.at[b, slot], sem.at[b, slot])
+            win.at[b, g, slot], sem.at[b, g, slot])
 
-    def start_tile(tt, b):
-        ca, cb = cams(tt)
-        dma(b, 0, ca, org(tt, 0), org(tt, 1)).start()
+    def start_group(tgrp, b):
+        for g in range(GROUP):
+            tt = tgrp * GROUP + g
+            ca, cb = cams(tt)
+            dma(b, g, 0, ca, org(tt, 0), org(tt, 1)).start()
 
-        @pl.when(cb != ca)
+            @pl.when(cb != ca)
+            def _():
+                dma(b, g, 1, cb, org(tt, 2), org(tt, 3)).start()
+
+    @pl.when(tg == 0)
+    def _():
+        start_group(0, 0)
+
+    @pl.when(tg + 1 < Tg)
+    def _():
+        start_group(tg + 1, nbuf)
+
+    for g in range(GROUP):
+        tt = tg * GROUP + g
+        cam_a, cam_b = cams(tt)
+        two = cam_b != cam_a
+
+        def slot_val(slot, g=g):
+            src = win[buf, g, slot].reshape(3 * WIN_H, WIN_W)    # int8
+            c_all = jax.lax.dot_general(
+                src, vx_ref[0, g * WIN_W:(g + 1) * WIN_W, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)                # [3*WIN_H, P]
+            vy = vy_ref[0, g * WIN_H:(g + 1) * WIN_H, :].astype(jnp.float32)
+            vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H].astype(jnp.float32)
+                            * vy, axis=0, keepdims=True) for c in range(3)]
+            return jnp.concatenate(vals, axis=0) * (1.0 / 127.0)
+
+        gc = gcs_ref[0, g, :][None, :]
+        sel = gcs_ref[0, GROUP + g, :][None, :]
+
+        dma(buf, g, 0, cam_a, org(tt, 0), org(tt, 1)).wait()
+        acc = slot_val(0) * sel
+
+        @pl.when(two)
         def _():
-            dma(b, 1, cb, org(tt, 2), org(tt, 3)).start()
+            dma(buf, g, 1, cam_b, org(tt, 2), org(tt, 3)).wait()
 
-    @pl.when(t == 0)
-    def _():
-        start_tile(0, 0)
-
-    @pl.when(t + 1 < T)
-    def _():
-        start_tile(t + 1, nbuf)
-
-    cam_a, cam_b = cams(t)
-    two = cam_b != cam_a
-
-    def slot_val(slot):
-        """[3, P] f32: x/y interpolated src8 for this slot's window."""
-        src = win[buf, slot].reshape(3 * WIN_H, WIN_W)       # int8
-        c_all = jax.lax.dot_general(
-            src, vx_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)                # [3*WIN_H, P]
-        vy = vy_ref[0].astype(jnp.float32)                   # [WIN_H, P]
-        vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H].astype(jnp.float32)
-                        * vy, axis=0, keepdims=True) for c in range(3)]
-        return jnp.concatenate(vals, axis=0) * (1.0 / 127.0)
-
-    sel = sel_ref[0]                                         # [1, P]
-    g = gain_ref[0]
-    covered = covered_ref[0]
-
-    dma(buf, 0, cam_a, org(t, 0), org(t, 1)).wait()
-    acc = slot_val(0) * sel
-
-    @pl.when(two)
-    def _():
-        dma(buf, 1, cam_b, org(t, 2), org(t, 3)).wait()
-
-    # second slot only where the tile actually spans two cameras
-    res = jax.lax.cond(
-        two,
-        lambda: acc + slot_val(1) * (1.0 - sel),
-        lambda: acc)
-    out = (res + 128.0) * g * covered
-    # Mosaic lacks f32->uint8 casts; emit f32, cast in XLA (elementwise, cheap)
-    out_ref[:, 0, 0, :] = out
+        res = jax.lax.cond(two, lambda g=g: acc + slot_val(1, g) * (1.0 - sel),
+                           lambda: acc)
+        # gc already folds gain * covered; Mosaic lacks f32->uint8 so emit f32
+        out_ref[:, 0, g, :] = (res + 128.0) * gc
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -211,42 +233,39 @@ def composite_mat(frames: jnp.ndarray, mlut: MatLUT,
 @partial(jax.jit, static_argnames=("interpret",))
 def composite_mat_planar(planar_i8: jnp.ndarray, mlut: MatLUT,
                          interpret: bool = False) -> jnp.ndarray:
-    T = mlut.vx.shape[0]
+    Tg = mlut.vx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(Tg,),
         in_specs=[
-            pl.BlockSpec((1, WIN_W, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, GROUP * WIN_W, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WIN_H, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, GROUP * WIN_H, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, GPAD, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((3, 1, 1, P), lambda t, *_: (0, t, 0, 0),
+        out_specs=pl.BlockSpec((3, 1, GPAD, P), lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, 3, WIN_H, WIN_W), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, GROUP, 2, 3, WIN_H, WIN_W), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((3, T, 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, Tg, GPAD, P), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(mlut.tile_cam, mlut.tile_org, mlut.vx, mlut.vy, mlut.gain,
-      mlut.covered, mlut.sel_a, planar_i8)
+    )(mlut.tile_cam, mlut.tile_org, mlut.vx, mlut.vy, mlut.gcs, planar_i8)
 
     nty, ntx = mlut.grid_hw
     Hp, Wp = mlut.pano_hw
+    T = mlut.n_tiles
+    out = out[:, :, :GROUP, :].reshape(3, Tg * GROUP, P)[:, :T]
     out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     # planar re-blocking: minor dim stays 128-granular — near-memcpy
     pano = out.reshape(3, nty, ntx, TILE_H, TILE_W) \
