@@ -64,20 +64,21 @@ def main():
     frames = jax.device_put(jnp.asarray(frames_np))
     lut = jax.device_put(lut)
 
-    # Prefer the Pallas MXU composite; fall back to the XLA gather path.
-    # The LUT is a jit *argument* (a closure would inline ~150 MB of constants
+    # Prefer the materialized Pallas MXU composite; fall back to XLA gather.
+    # The LUT is a jit *argument* (a closure would inline GBs of constants
     # into the program).
-    path = "pallas"
+    path = "pallas_mat"
     try:
-        from stitchingvideo_tpu.ops.pallas.composite import (
-            build_tiled_lut, composite_tiled)
-        state = jax.device_put(build_tiled_lut(lut, frames_np.shape[1:3]))
+        from stitchingvideo_tpu.ops.pallas.composite_mat import (
+            build_mat_lut, composite_mat)
+        state = jax.device_put(build_mat_lut(lut, frames_np.shape[1:3]))
         if int(state.n_fallback) != 0:
             raise RuntimeError(f"{int(state.n_fallback)} fallback tiles")
 
         @jax.jit
         def step(f, i, s):
-            return composite_tiled((f + i).astype(jnp.uint8), s)
+            out = composite_mat((f + i).astype(jnp.uint8), s)
+            return out, out[:, ::301, ::401].astype(jnp.int32).sum()
     except Exception:
         path = "xla_gather"
         from stitchingvideo_tpu.video.lut import composite_frame_u8
@@ -85,17 +86,20 @@ def main():
 
         @jax.jit
         def step(f, i, s):
-            return composite_frame_u8((f + i).astype(jnp.uint8), s)
+            out = composite_frame_u8((f + i).astype(jnp.uint8), s)
+            return out, out[::301, ::401].astype(jnp.int32).sum()
 
-    # compile + warmup (distinct inputs per iter; outputs kept live and synced
-    # so lazy/deferred execution cannot fake the timing)
-    step(frames, 0, state).block_until_ready()
+    # Timing methodology: every iteration gets a DISTINCT input and a small
+    # checksum of its output is fetched to host. This defeats both lazy/
+    # deferred execution and value-memoizing execution layers — without it a
+    # remote-TPU relay can report fantasy numbers (dead outputs never run).
+    step(frames, 0, state)
     iters = 30
     t0 = time.perf_counter()
-    outs = [step(frames, i % 7, state) for i in range(iters)]
-    for o in outs:
-        o.block_until_ready()
+    outs = [step(frames, i + 1, state) for i in range(iters)]
+    sums = {int(np.asarray(c)) for (_o, c) in outs}
     dt = (time.perf_counter() - t0) / iters
+    assert len(sums) > iters // 2, "outputs not distinct — timing invalid"
     fps = 1.0 / dt
 
     print(json.dumps({

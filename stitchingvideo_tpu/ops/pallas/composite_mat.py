@@ -188,14 +188,18 @@ def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
         two = cam_b != cam_a
 
         def slot_val(slot, g=g):
-            src = win[buf, g, slot].reshape(3 * WIN_H, WIN_W)    # int8
+            # int8 is the storage/DMA format; the MXU contraction runs in
+            # bf16 (int8 values are exactly representable) — Mosaic's int8
+            # dot lowering measured ~8x slower here.
+            src = win[buf, g, slot].reshape(3 * WIN_H, WIN_W) \
+                .astype(jnp.bfloat16)
+            vxg = vx_ref[0, g * WIN_W:(g + 1) * WIN_W, :].astype(jnp.bfloat16)
             c_all = jax.lax.dot_general(
-                src, vx_ref[0, g * WIN_W:(g + 1) * WIN_W, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)                # [3*WIN_H, P]
+                src, vxg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [3*WIN_H, P]
             vy = vy_ref[0, g * WIN_H:(g + 1) * WIN_H, :].astype(jnp.float32)
-            vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H].astype(jnp.float32)
-                            * vy, axis=0, keepdims=True) for c in range(3)]
+            vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H] * vy,
+                            axis=0, keepdims=True) for c in range(3)]
             return jnp.concatenate(vals, axis=0) * (1.0 / 127.0)
 
         gc = gcs_ref[0, g, :][None, :]

@@ -104,3 +104,44 @@ def test_graphcut_seams_partition_and_quality(rng):
         if len(xs):
             boundary_cols.add(xs.max())
     assert not any(30 <= c < 35 for c in boundary_cols), sorted(boundary_cols)
+
+
+def test_graphcut_cost_parity_with_cv2(rng):
+    """Our min-cut partition should cost no more than cv2's GraphCutSeamFinder
+    partition under the same color-difference objective."""
+    from stitchingvideo_tpu.seams.graphcut import graphcut_seams
+    H, W = 64, 96
+    base = rng.uniform(0, 255, (H, W, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (9, 9), 3.0)
+    img1 = np.zeros((H, W, 3), np.float32)
+    img2 = np.zeros((H, W, 3), np.float32)
+    img1[:, :70] = base[:, :70]
+    img2[:, 30:] = base[:, 30:] + rng.normal(0, 6, (H, W - 30, 3))
+    masks = np.zeros((2, H, W), bool)
+    masks[0, :, :70] = True
+    masks[1, :, 30:] = True
+
+    ours = graphcut_seams(np.stack([img1, img2]), masks, "color")
+
+    m1 = (masks[0] * 255).astype(np.uint8)
+    m2 = (masks[1] * 255).astype(np.uint8)
+    gc = cv2.detail_GraphCutSeamFinder('COST_COLOR')
+    out = gc.find([img1, img2], [(0, 0), (0, 0)], [m1, m2])
+    cv2_masks = np.stack([np.asarray(cv2.UMat.get(u) if isinstance(u, cv2.UMat) else u) > 0
+                          for u in out]) if out and out[0] is not None else None
+    if cv2_masks is None or cv2_masks[0].shape != (H, W):
+        pytest.skip("cv2 GraphCutSeamFinder returned no masks")
+
+    diff = np.sqrt(((img1 - img2) ** 2).sum(-1))
+
+    def cut_cost(seams):
+        lab = seams[0] & masks[1]  # boundary inside overlap
+        c = 0.0
+        a = seams[0].astype(np.int8)
+        c += (np.abs(np.diff(a, axis=1)) * (diff[:, :-1] + diff[:, 1:])).sum()
+        c += (np.abs(np.diff(a, axis=0)) * (diff[:-1] + diff[1:])).sum()
+        return c
+
+    ours_cost = cut_cost(ours)
+    cv2_cost = cut_cost(cv2_masks)
+    assert ours_cost <= cv2_cost * 1.1 + 1e-3, (ours_cost, cv2_cost)
