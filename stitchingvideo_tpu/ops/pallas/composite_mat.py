@@ -40,8 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .composite import (ALIGN_X, ALIGN_Y, P, TILE_H, TILE_W, WIN_H, WIN_W,
                         TiledLUT, build_tiled_lut)
 
-GROUP = 4        # tiles per grid step
-GPAD = 8         # sublane-padded group row count for (1, 8, P) blocks
+GROUP = 8        # tiles per grid step
+GPAD = 16        # gc rows + sel rows = 2*GROUP for (1, GPAD, P) blocks
 
 
 @flax.struct.dataclass
@@ -49,7 +49,7 @@ class MatLUT:
     """Grouped, materialized composite state.
 
     vx:   [Tg, GROUP*WIN_W, P] int8
-    vy:   [Tg, GROUP*WIN_H, P] bf16
+    vy:   [Tg, GROUP*WIN_H, P] int8
     gcs:  [Tg, GPAD, P] f32 — rows 0..G-1: gain*covered; rows G..2G-1: sel_a
     tile_cam: [Tg*GROUP*2] int32 (flat);  tile_org: [Tg*GROUP*4] int32
     """
@@ -79,13 +79,14 @@ def _mat_chunk(xl, yl):
     vx = vx.astype(jnp.int8)
 
     y0 = jnp.floor(yl)
-    fy = (yl - y0).astype(jnp.float32)
+    fy = yl - y0
+    ay = jnp.round(127.0 * (1.0 - fy)).astype(jnp.int32)
     wyi = jax.lax.broadcasted_iota(jnp.int32, (yl.shape[0], WIN_H, P), 1)
     y0b = y0.astype(jnp.int32)[:, None, :]
-    vy = jnp.where(wyi == y0b, 1.0 - fy[:, None, :], 0.0) + \
-        jnp.where(wyi == y0b + 1, fy[:, None, :], 0.0)
-    vy = jnp.where((wyi == y0b) & (y0b == WIN_H - 1), 1.0, vy)
-    return vx, vy.astype(jnp.bfloat16)
+    vy = jnp.where(wyi == y0b, ay[:, None, :], 0) + \
+        jnp.where(wyi == y0b + 1, 127 - ay[:, None, :], 0)
+    vy = jnp.where((wyi == y0b) & (y0b == WIN_H - 1), 127, vy)
+    return vx, vy.astype(jnp.int8)
 
 
 @jax.jit
@@ -200,7 +201,7 @@ def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
             vy = vy_ref[0, g * WIN_H:(g + 1) * WIN_H, :].astype(jnp.float32)
             vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H] * vy,
                             axis=0, keepdims=True) for c in range(3)]
-            return jnp.concatenate(vals, axis=0) * (1.0 / 127.0)
+            return jnp.concatenate(vals, axis=0) * (1.0 / (127.0 * 127.0))
 
         gc = gcs_ref[0, g, :][None, :]
         sel = gcs_ref[0, GROUP + g, :][None, :]
