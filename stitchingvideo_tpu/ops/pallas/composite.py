@@ -41,6 +41,11 @@ TILE_W = 128
 P = TILE_H * TILE_W          # 1024 pixels per tile
 WIN_H = 80
 WIN_W = 384
+# The hat matrices only span a 256-wide band within the 384 DMA window; the
+# band starts at one of four 32-granular offsets {0,32,64,96} from the window
+# origin (materialized kernel slices the window accordingly).
+VXW = 256
+BAND_STEP = 32
 # DMA slice origins must be aligned to the HBM tiling (sublane 8, lane 128)
 ALIGN_Y = 8
 ALIGN_X = 128
@@ -54,6 +59,7 @@ class TiledLUT:
     cidx:         [T, P] int32 (-1 = uncovered)
     tile_cam:     [T*2] int32  up to two source cameras per tile (flat)
     tile_org:     [T*4] int32  (oy_a, ox_a, oy_b, ox_b) window origins (flat)
+    tile_band:    [T*2] int32  32-granular hat-band offsets within the window
     n_fallback:   [] int32      tiles not representable (>2 cams / overflow)
     grid_hw / pano_hw / frame_hw: static shapes
     """
@@ -63,6 +69,7 @@ class TiledLUT:
     cidx: jnp.ndarray
     tile_cam: jnp.ndarray
     tile_org: jnp.ndarray
+    tile_band: jnp.ndarray
     n_fallback: jnp.ndarray
     grid_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     pano_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
@@ -116,19 +123,30 @@ def _build(cam_idx, src_x, src_y, gain, pano_hw, frame_hw):
         return o, overflow
 
     orgs = []
+    bands = []
     ovf = fallback
     for cam_s in (cam_a, cam_b):
         m = valid & (camf == cam_s[:, None])
         oy, ovy = origin(m, syt[:, 0, :], WIN_H, fh, ALIGN_Y)
         ox, ovx = origin(m, sxt[:, 0, :], WIN_W, fw, ALIGN_X)
+        # 32-granular band start within the aligned window
+        lo = jnp.min(jnp.where(m, sxt[:, 0, :], jnp.inf), axis=1)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        boff = jnp.clip((jnp.floor(lo).astype(jnp.int32) - 1 - ox)
+                        // BAND_STEP * BAND_STEP, 0, WIN_W - VXW)
+        hi = jnp.max(jnp.where(m, sxt[:, 0, :], -jnp.inf), axis=1)
+        ovb = jnp.isfinite(hi) & \
+            (hi > (ox + boff).astype(jnp.float32) + VXW - 1)
         orgs += [oy, ox]
-        ovf = ovf | ovy | ovx
+        bands.append(boff)
+        ovf = ovf | ovy | ovx | ovb
 
     # flattened 1D for SMEM scalar prefetch (2D SMEM arrays get lane-padded)
     tile_cam = jnp.stack([cam_a, cam_b], axis=1).astype(jnp.int32).reshape(-1)
     tile_org = jnp.stack(orgs, axis=1).astype(jnp.int32).reshape(-1)
+    tile_band = jnp.stack(bands, axis=1).astype(jnp.int32).reshape(-1)
     return TiledLUT(sx=sxt, sy=syt, gain=gt, cidx=camt,
-                    tile_cam=tile_cam, tile_org=tile_org,
+                    tile_cam=tile_cam, tile_org=tile_org, tile_band=tile_band,
                     n_fallback=ovf.sum().astype(jnp.int32),
                     grid_hw=(nty, ntx), pano_hw=(Hp, Wp), frame_hw=(fh, fw))
 

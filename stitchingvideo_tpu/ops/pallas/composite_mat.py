@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .composite import (ALIGN_X, ALIGN_Y, P, TILE_H, TILE_W, WIN_H, WIN_W,
-                        TiledLUT, build_tiled_lut)
+from .composite import (ALIGN_X, ALIGN_Y, BAND_STEP, P, TILE_H, TILE_W,
+                        VXW, WIN_H, WIN_W, TiledLUT, build_tiled_lut)
 
 GROUP = 8        # tiles per grid step
 GPAD = 16        # gc rows + sel rows = 2*GROUP for (1, GPAD, P) blocks
@@ -48,7 +48,7 @@ GPAD = 16        # gc rows + sel rows = 2*GROUP for (1, GPAD, P) blocks
 class MatLUT:
     """Grouped, materialized composite state.
 
-    vx:   [Tg, GROUP*WIN_W, P] int8
+    vx:   [Tg, GROUP*VXW, P] int8 (band-local hats)
     vy:   [Tg, GROUP*WIN_H, P] int8
     gcs:  [Tg, GPAD, P] f32 — rows 0..G-1: gain*covered; rows G..2G-1: sel_a
     tile_cam: [Tg*GROUP*2] int32 (flat);  tile_org: [Tg*GROUP*4] int32
@@ -58,6 +58,7 @@ class MatLUT:
     gcs: jnp.ndarray
     tile_cam: jnp.ndarray
     tile_org: jnp.ndarray
+    tile_band: jnp.ndarray
     n_fallback: jnp.ndarray
     grid_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     pano_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
@@ -70,12 +71,12 @@ def _mat_chunk(xl, yl):
     x0 = jnp.floor(xl)
     fx = xl - x0
     a = jnp.round(127.0 * (1.0 - fx)).astype(jnp.int32)
-    wxi = jax.lax.broadcasted_iota(jnp.int32, (xl.shape[0], WIN_W, P), 1)
+    wxi = jax.lax.broadcasted_iota(jnp.int32, (xl.shape[0], VXW, P), 1)
     x0b = x0.astype(jnp.int32)[:, None, :]
     vx = jnp.where(wxi == x0b, a[:, None, :], 0) + \
         jnp.where(wxi == x0b + 1, 127 - a[:, None, :], 0)
-    # right edge: x0 == WIN_W-1 puts the whole mass on the last column
-    vx = jnp.where((wxi == x0b) & (x0b == WIN_W - 1), 127, vx)
+    # right edge: x0 == VXW-1 puts the whole mass on the last column
+    vx = jnp.where((wxi == x0b) & (x0b == VXW - 1), 127, vx)
     vx = vx.astype(jnp.int8)
 
     y0 = jnp.floor(yl)
@@ -95,11 +96,14 @@ def _materialize(tlut: TiledLUT) -> MatLUT:
     cam = tlut.cidx[:, 0, :]                       # [T, P]
     cam_a = tlut.tile_cam.reshape(T, 2)[:, 0]
     org = tlut.tile_org.reshape(T, 4)
+    band = tlut.tile_band.reshape(T, 2)
     is_a = cam == cam_a[:, None]
     ox = jnp.where(is_a, org[:, 1:2], org[:, 3:4]).astype(jnp.float32)
     oy = jnp.where(is_a, org[:, 0:1], org[:, 2:3]).astype(jnp.float32)
+    boff = jnp.where(is_a, band[:, 0:1], band[:, 1:2]).astype(jnp.float32)
 
-    xl = jnp.clip(tlut.sx[:, 0, :] - ox, 0.0, WIN_W - 1.0)
+    # x is band-local: the kernel slices the DMA window at the band offset
+    xl = jnp.clip(tlut.sx[:, 0, :] - ox - boff, 0.0, VXW - 1.0)
     yl = jnp.clip(tlut.sy[:, 0, :] - oy, 0.0, WIN_H - 1.0)
 
     Tg = -(-T // GROUP)
@@ -120,7 +124,7 @@ def _materialize(tlut: TiledLUT) -> MatLUT:
     vx, vy = jax.lax.map(
         lambda args: _mat_chunk(*args),
         (xlc.reshape(-1, CHUNK, P), ylc.reshape(-1, CHUNK, P)))
-    vx = vx.reshape(Tc, WIN_W, P)[:Tpad].reshape(Tg, GROUP * WIN_W, P)
+    vx = vx.reshape(Tc, VXW, P)[:Tpad].reshape(Tg, GROUP * VXW, P)
     vy = vy.reshape(Tc, WIN_H, P)[:Tpad].reshape(Tg, GROUP * WIN_H, P)
 
     covered = padT((cam >= 0).astype(jnp.float32))
@@ -132,8 +136,9 @@ def _materialize(tlut: TiledLUT) -> MatLUT:
 
     tile_cam = padT(tlut.tile_cam.reshape(T, 2)).reshape(-1)
     tile_org = padT(tlut.tile_org.reshape(T, 4)).reshape(-1)
+    tile_band = padT(band).reshape(-1)
     return MatLUT(vx=vx, vy=vy, gcs=gcs,
-                  tile_cam=tile_cam, tile_org=tile_org,
+                  tile_cam=tile_cam, tile_org=tile_org, tile_band=tile_band,
                   n_fallback=tlut.n_fallback, grid_hw=tlut.grid_hw,
                   pano_hw=tlut.pano_hw, frame_hw=tlut.frame_hw, n_tiles=T)
 
@@ -142,7 +147,7 @@ def build_mat_lut(lut, frame_hw: Tuple[int, int]) -> MatLUT:
     return _materialize(build_tiled_lut(lut, frame_hw))
 
 
-def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
+def _kernel(tile_cam_ref, tile_org_ref, tile_band_ref,  # scalar prefetch
             vx_ref, vy_ref, gcs_ref,               # auto-blocked per group
             frames_ref,                            # [N, 3, H, W] int8, ANY
             out_ref,                               # [3, 1, GPAD, P] f32
@@ -191,10 +196,15 @@ def _kernel(tile_cam_ref, tile_org_ref,            # scalar prefetch (flat)
         def slot_val(slot, g=g):
             # int8 is the storage/DMA format; the MXU contraction runs in
             # bf16 (int8 values are exactly representable) — Mosaic's int8
-            # dot lowering measured ~8x slower here.
-            src = win[buf, g, slot].reshape(3 * WIN_H, WIN_W) \
-                .astype(jnp.bfloat16)
-            vxg = vx_ref[0, g * WIN_W:(g + 1) * WIN_W, :].astype(jnp.bfloat16)
+            # dot lowering measured ~8x slower here. The hat band is VXW wide
+            # at a 32-granular offset within the DMA window: 4-way static
+            # slice selected by the prefetched band offset.
+            full = win[buf, g, slot].reshape(3 * WIN_H, WIN_W)
+            k = tile_band_ref[2 * tt + slot] // BAND_STEP
+            src = jax.lax.switch(
+                k, [lambda off=off: full[:, off:off + VXW].astype(jnp.bfloat16)
+                    for off in range(0, WIN_W - VXW + 1, BAND_STEP)])
+            vxg = vx_ref[0, g * VXW:(g + 1) * VXW, :].astype(jnp.bfloat16)
             c_all = jax.lax.dot_general(
                 src, vxg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)              # [3*WIN_H, P]
@@ -240,10 +250,10 @@ def composite_mat_planar(planar_i8: jnp.ndarray, mlut: MatLUT,
                          interpret: bool = False) -> jnp.ndarray:
     Tg = mlut.vx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(Tg,),
         in_specs=[
-            pl.BlockSpec((1, GROUP * WIN_W, P), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, GROUP * VXW, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GROUP * WIN_H, P), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -265,7 +275,8 @@ def composite_mat_planar(planar_i8: jnp.ndarray, mlut: MatLUT,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(mlut.tile_cam, mlut.tile_org, mlut.vx, mlut.vy, mlut.gcs, planar_i8)
+    )(mlut.tile_cam, mlut.tile_org, mlut.tile_band, mlut.vx, mlut.vy,
+      mlut.gcs, planar_i8)
 
     nty, ntx = mlut.grid_hw
     Hp, Wp = mlut.pano_hw

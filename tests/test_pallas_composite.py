@@ -11,7 +11,7 @@ from stitchingvideo_tpu.ops.pallas.composite import (
 from stitchingvideo_tpu.video.lut import CompositeLUT, composite_frame_u8
 
 
-def _make_state(rng, n_cams=3, fh=128, fw=512, ph=64, pw=768, rot=0.05):
+def _make_state(rng, n_cams=3, fh=128, fw=512, ph=64, pw=1024, rot=0.05):
     frames = rng.integers(0, 255, (n_cams, fh, fw, 3), np.uint8)
     xx, yy = np.meshgrid(np.arange(pw, dtype=np.float32),
                          np.arange(ph, dtype=np.float32))

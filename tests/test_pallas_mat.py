@@ -37,9 +37,8 @@ def test_composite_mat_uncovered_zero(rng):
 def test_vx_rows_sum_127(rng):
     frames, lut = _make_state(rng)
     mlut = build_mat_lut(lut, (128, 512))
-    from stitchingvideo_tpu.ops.pallas.composite import WIN_W
-    Tg = mlut.vx.shape[0]
+    from stitchingvideo_tpu.ops.pallas.composite import VXW
     vx = np.asarray(mlut.vx).astype(np.int32)
-    vx = vx.reshape(-1, WIN_W, 1024)[:mlut.n_tiles]
+    vx = vx.reshape(-1, VXW, 1024)[:mlut.n_tiles]
     sums = vx.sum(axis=1)
     assert (sums == 127).all()
