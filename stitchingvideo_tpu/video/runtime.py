@@ -169,6 +169,26 @@ class VideoStitcher:
             return planar_to_hwc(out)
         return out
 
+    def composite_microbatch(self, planar_batch: jnp.ndarray) -> jnp.ndarray:
+        """Throughput serving path: B frame-sets per device execution.
+
+        planar_batch: [B, N, 3, H, W] int8 (value-128, the ingest-native
+        planar layout). Returns [B, 3, Hp, Wp] uint8. Micro-batching
+        amortizes per-execution dispatch overhead — the production serving
+        shape (at ~B/fps added latency).
+        """
+        with self._lock:
+            tlut = self._tlut
+        if tlut is None or tlut[0] != "mat":
+            raise RuntimeError("micro-batch path requires the materialized "
+                               "Pallas LUT (register() first)")
+        from ..ops.pallas.composite_mat import composite_mat_planar
+        interpret = jax.default_backend() != "tpu"
+        ml = tlut[1]
+        return jax.lax.map(
+            lambda f: composite_mat_planar(f, ml, interpret=interpret),
+            planar_batch)
+
     def composite_planar(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Hot path returning channel-planar [3, H, W] when on a Pallas path
         (the native layout for encoders); HWC on the gather fallback."""
