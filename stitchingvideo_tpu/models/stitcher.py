@@ -199,11 +199,12 @@ class Stitcher:
         Hr = max(s[0] for s in c_shapes)
         Wr = max(s[1] for s in c_shapes)
 
-        xmaps = np.zeros((n, Hr, Wr), np.float32)
-        ymaps = np.zeros((n, Hr, Wr), np.float32)
-        valids = np.zeros((n, Hr, Wr), bool)
-        seam_rois = np.zeros((n, Hr, Wr), bool)
-        gain_rois = np.ones((n, Hr, Wr), np.float32)
+        # device-side field build: no per-camera host round-trips — the maps
+        # stay in HBM from rasterization straight into the Registration pytree
+        xmaps_l, ymaps_l, valids_l, seam_l, gain_l = [], [], [], [], []
+        seam_canvas_j = jnp.asarray(seam_canvas)
+        gain_canvas_j = jnp.asarray(gain_canvas)
+        ratio = s_scale / c_scale
         for i in range(n):
             _, k_rinv = proj.camera_maps(Ks[i].astype(np.float32),
                                          np.asarray(cams.R[i]))
@@ -212,29 +213,31 @@ class Stitcher:
                 jnp.asarray(c_corners[i], jnp.float32), (Hr, Wr))
             hc = round(full_kept[i].shape[0] * compose_scale)
             wc = round(full_kept[i].shape[1] * compose_scale)
-            inb = (np.asarray(xm) > -0.5) & (np.asarray(xm) < wc - 0.5) & \
-                  (np.asarray(ym) > -0.5) & (np.asarray(ym) < hc - 0.5)
-            xmaps[i] = np.asarray(xm)
-            ymaps[i] = np.asarray(ym)
+            inb = (xm > -0.5) & (xm < wc - 0.5) & (ym > -0.5) & (ym < hc - 0.5)
             rh, rw = c_shapes[i]
-            inside_roi = np.zeros((Hr, Wr), bool)
-            inside_roi[:rh, :rw] = True
-            valids[i] = np.asarray(valid) & inb & inside_roi
+            yy_r = jnp.arange(Hr) < rh
+            xx_r = jnp.arange(Wr) < rw
+            inside_roi = yy_r[:, None] & xx_r[None, :]
+            v = valid & inb & inside_roi
+            xmaps_l.append(xm)
+            ymaps_l.append(ym)
+            valids_l.append(v)
 
             # seam + gain transfer: compose-ROI pixel -> seam-canvas pixel
-            ratio = s_scale / c_scale
-            yy = (np.arange(Hr) + c_corners[i][1]) * ratio - sy0
-            xx = (np.arange(Wr) + c_corners[i][0]) * ratio - sx0
-            gx, gy = np.meshgrid(xx, yy)
-            sm = np.asarray(dilate(jnp.asarray(seam_canvas[i]), 3)).astype(np.float32)
-            seam_resized = np.asarray(remap(jnp.asarray(sm), jnp.asarray(gx),
-                                            jnp.asarray(gy), interp="linear",
-                                            border="constant"))
-            seam_rois[i] = (seam_resized > 0.05) & valids[i]
-            gain_resized = np.asarray(remap(jnp.asarray(gain_canvas[i]),
-                                            jnp.asarray(gx), jnp.asarray(gy),
-                                            interp="linear", border="replicate"))
-            gain_rois[i] = gain_resized
+            yy = (jnp.arange(Hr, dtype=jnp.float32) + c_corners[i][1]) * ratio - sy0
+            xx = (jnp.arange(Wr, dtype=jnp.float32) + c_corners[i][0]) * ratio - sx0
+            gy = jnp.broadcast_to(yy[:, None], (Hr, Wr))
+            gx = jnp.broadcast_to(xx[None, :], (Hr, Wr))
+            sm = dilate(seam_canvas_j[i], 3).astype(jnp.float32)
+            seam_resized = remap(sm, gx, gy, interp="linear", border="constant")
+            seam_l.append((seam_resized > 0.05) & v)
+            gain_l.append(remap(gain_canvas_j[i], gx, gy,
+                                interp="linear", border="replicate"))
+        xmaps = jnp.stack(xmaps_l)
+        ymaps = jnp.stack(ymaps_l)
+        valids = jnp.stack(valids_l)
+        seam_rois = jnp.stack(seam_l)
+        gain_rois = jnp.stack(gain_l)
 
         # canvas
         cx0 = min(c[0] for c in c_corners)

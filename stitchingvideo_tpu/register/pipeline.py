@@ -12,6 +12,7 @@ jitted and shape-stable so re-registration in video mode never recompiles.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -53,8 +54,21 @@ class RegistrationResult:
 
 
 def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[dict]:
-    """Per-image feature dicts (gray conversion + detect_and_describe)."""
+    """Per-image feature dicts (gray conversion + detect_and_describe).
+
+    Same-size images batch into ONE device dispatch (vmapped detector) —
+    the camera axis is data parallelism, not a host loop."""
     fc = cfg.features
+    shapes = {im.shape for im in images}
+    if len(shapes) == 1 and len(images) > 1 and fc.num_levels == 1:
+        batch = jnp.asarray(np.stack(images))
+        gray = color.rgb_to_gray(batch) if batch.ndim == 4 else batch.astype(jnp.float32)
+        f = jax.jit(jax.vmap(lambda g: feat_ops.detect_and_describe(
+            g, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
+            border=fc.border, grid=fc.grid)))(gray)
+        wh = (int(gray.shape[2]), int(gray.shape[1]))
+        return [{**{k: v[i] for k, v in f.items()}, "img_wh": wh}
+                for i in range(len(images))]
     out = []
     for img in images:
         arr = jnp.asarray(img)
@@ -74,41 +88,95 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     return out
 
 
+@partial(jax.jit, static_argnames=("match_conf", "max_matches",
+                                   "ransac_thresh", "ransac_iters"))
+def _match_pairs_device(key, desc, dvalid, xy, centers, pi, pj,
+                        match_conf, max_matches, ransac_thresh, ransac_iters):
+    """All pairs in ONE dispatch: vmapped 2-NN matching + RANSAC.
+
+    The reference fans pairs out over threads (MatchPairsBody,
+    matchers.cpp:66-109); here the pair axis is a vmap — one compiled
+    program for the whole match graph, no host round-trips per pair.
+    """
+    def one_pair(k, i, j):
+        src, dst, _d, valid = match_pair(
+            desc[i], dvalid[i], desc[j], dvalid[j],
+            match_conf=match_conf, max_matches=max_matches)
+        p1 = xy[i][src] - centers[i]
+        p2 = xy[j][dst] - centers[j]
+        r = ransac_homography(k, p1, p2, valid,
+                              thresh=ransac_thresh, iters=ransac_iters)
+        nm = valid.sum().astype(jnp.int32)
+        return (p1, p2, valid, nm, r["H"], r["inliers"], r["num_inliers"],
+                r["ok"])
+
+    keys = jax.random.split(key, pi.shape[0])
+    return jax.vmap(one_pair)(keys, pi, pj)
+
+
 def match_all_pairs(features: List[dict], cfg: StitchConfig,
                     seed: int = 0) -> List[PairResult]:
     """All unordered pairs matched + RANSAC'd (ordered i<j; H maps i->j)."""
     mc = cfg.match
     n = len(features)
+    pairs_idx = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    same_shape = len({f["desc"].shape for f in features}) == 1
+
     results: List[PairResult] = []
-    key = jax.random.PRNGKey(seed)
-    for i in range(n):
-        for j in range(i + 1, n):
-            fi, fj = features[i], features[j]
-            src, dst, _dist, valid = match_pair(
-                fi["desc"], fi["valid"], fj["desc"], fj["valid"],
-                match_conf=mc.match_conf, max_matches=mc.max_matches)
-            # centered coordinates (matchers.cpp:595-605)
-            wi, hi = fi["img_wh"]
-            wj, hj = fj["img_wh"]
-            p1 = fi["xy"][src] - jnp.asarray([wi * 0.5, hi * 0.5])
-            p2 = fj["xy"][dst] - jnp.asarray([wj * 0.5, hj * 0.5])
-            nm = int(np.asarray(valid).sum())
-            if nm < mc.min_matches_for_h:
-                results.append(PairResult(i, j, None, nm, 0, 0.0,
-                                          np.asarray(p1), np.asarray(p2),
-                                          np.zeros(mc.max_matches, np.float32)))
-                continue
-            key, sub = jax.random.split(key)
-            r = ransac_homography(sub, p1, p2, valid,
-                                  thresh=mc.ransac_thresh, iters=mc.ransac_iters)
-            ni = int(r["num_inliers"])
-            conf = ni / (8.0 + 0.3 * nm)  # matchers.cpp:622
+    if same_shape and pairs_idx:
+        desc = jnp.stack([f["desc"] for f in features])
+        dvalid = jnp.stack([f["valid"] for f in features])
+        xy = jnp.stack([f["xy"] for f in features])
+        centers = jnp.asarray([[f["img_wh"][0] * 0.5, f["img_wh"][1] * 0.5]
+                               for f in features], jnp.float32)
+        pi = jnp.asarray([p[0] for p in pairs_idx], jnp.int32)
+        pj = jnp.asarray([p[1] for p in pairs_idx], jnp.int32)
+        out = _match_pairs_device(
+            jax.random.PRNGKey(seed), desc, dvalid, xy, centers, pi, pj,
+            mc.match_conf, mc.max_matches, mc.ransac_thresh, mc.ransac_iters)
+        p1s, p2s, valids, nms, Hs, inls, nis, oks = map(np.asarray, out)
+        for p_idx, (i, j) in enumerate(pairs_idx):
+            nm = int(nms[p_idx])
+            ni = int(nis[p_idx])
+            ok = bool(oks[p_idx]) and nm >= mc.min_matches_for_h
+            conf = ni / (8.0 + 0.3 * nm) if ok else 0.0
             if conf > mc.near_dup_confidence:
                 conf = 0.0                # near-duplicate guard (:627)
             results.append(PairResult(
-                i, j, np.asarray(r["H"]) if bool(r["ok"]) else None,
-                nm, ni, conf, np.asarray(p1), np.asarray(p2),
-                np.asarray(r["inliers"]).astype(np.float32)))
+                i, j, Hs[p_idx] if ok else None, nm, ni if ok else 0, conf,
+                p1s[p_idx], p2s[p_idx],
+                inls[p_idx].astype(np.float32) if ok
+                else np.zeros(mc.max_matches, np.float32)))
+        return results
+
+    # fallback: per-pair path (mixed image sizes)
+    key = jax.random.PRNGKey(seed)
+    for i, j in pairs_idx:
+        fi, fj = features[i], features[j]
+        src, dst, _dist, valid = match_pair(
+            fi["desc"], fi["valid"], fj["desc"], fj["valid"],
+            match_conf=mc.match_conf, max_matches=mc.max_matches)
+        wi, hi = fi["img_wh"]
+        wj, hj = fj["img_wh"]
+        p1 = fi["xy"][src] - jnp.asarray([wi * 0.5, hi * 0.5])
+        p2 = fj["xy"][dst] - jnp.asarray([wj * 0.5, hj * 0.5])
+        nm = int(np.asarray(valid).sum())
+        if nm < mc.min_matches_for_h:
+            results.append(PairResult(i, j, None, nm, 0, 0.0,
+                                      np.asarray(p1), np.asarray(p2),
+                                      np.zeros(mc.max_matches, np.float32)))
+            continue
+        key, sub = jax.random.split(key)
+        r = ransac_homography(sub, p1, p2, valid,
+                              thresh=mc.ransac_thresh, iters=mc.ransac_iters)
+        ni = int(r["num_inliers"])
+        conf = ni / (8.0 + 0.3 * nm)  # matchers.cpp:622
+        if conf > mc.near_dup_confidence:
+            conf = 0.0
+        results.append(PairResult(
+            i, j, np.asarray(r["H"]) if bool(r["ok"]) else None,
+            nm, ni, conf, np.asarray(p1), np.asarray(p2),
+            np.asarray(r["inliers"]).astype(np.float32)))
     return results
 
 
