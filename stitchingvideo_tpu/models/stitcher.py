@@ -39,6 +39,13 @@ from .camera import Cameras
 from .registration import Registration
 
 
+def _bucket(x: int, q: int = 64) -> int:
+    """Round shapes up to a bucket so re-registrations with slightly shifted
+    ROIs reuse compiled programs instead of recompiling (each remote compile
+    costs seconds to minutes)."""
+    return -(-x // q) * q
+
+
 def _scale_for(megapix: float, w: int, h: int) -> float:
     if megapix <= 0:
         return 1.0
@@ -110,7 +117,7 @@ class Stitcher:
             R = np.asarray(cams.R[i])
             hs, ws = seam_imgs[i].shape[:2]
             tlx, tly, brx, bry = detect_result_roi(kind, s_scale, K, R, (ws, hs))
-            shape = (bry - tly + 1, brx - tlx + 1)
+            shape = (_bucket(bry - tly + 1), _bucket(brx - tlx + 1))
             _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
             img_w, _xm, _ym, valid = _warp_with_maps(
                 jnp.asarray(seam_imgs[i]), kind, s_scale, jnp.asarray(k_rinv),
@@ -128,7 +135,7 @@ class Stitcher:
         sy0 = min(c[1] for c in s_corners)
         sx1 = max(c[0] + m.shape[1] for c, m in zip(s_corners, s_masks))
         sy1 = max(c[1] + m.shape[0] for c, m in zip(s_corners, s_masks))
-        SH, SW = sy1 - sy0, sx1 - sx0
+        SH, SW = _bucket(sy1 - sy0), _bucket(sx1 - sx0)
         canvas_imgs = np.zeros((n, SH, SW, 3), np.float32)
         canvas_masks = np.zeros((n, SH, SW), bool)
         for i in range(n):
@@ -196,8 +203,8 @@ class Stitcher:
             c_corners.append((tlx, tly))
             c_shapes.append((bry - tly + 1, brx - tlx + 1))
 
-        Hr = max(s[0] for s in c_shapes)
-        Wr = max(s[1] for s in c_shapes)
+        Hr = _bucket(max(s[0] for s in c_shapes), 128)
+        Wr = _bucket(max(s[1] for s in c_shapes), 128)
 
         # device-side field build: no per-camera host round-trips — the maps
         # stay in HBM from rasterization straight into the Registration pytree

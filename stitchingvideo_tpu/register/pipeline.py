@@ -63,9 +63,8 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     if len(shapes) == 1 and len(images) > 1 and fc.num_levels == 1:
         batch = jnp.asarray(np.stack(images))
         gray = color.rgb_to_gray(batch) if batch.ndim == 4 else batch.astype(jnp.float32)
-        f = jax.jit(jax.vmap(lambda g: feat_ops.detect_and_describe(
-            g, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
-            border=fc.border, grid=fc.grid)))(gray)
+        f = _batched_detector(fc.max_keypoints, fc.border, fc.grid)(
+            gray, fc.fast_threshold)
         wh = (int(gray.shape[2]), int(gray.shape[1]))
         return [{**{k: v[i] for k, v in f.items()}, "img_wh": wh}
                 for i in range(len(images))]
@@ -86,6 +85,21 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
         f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
         out.append(f)
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_detector(max_kp, border, grid):
+    """Cached jitted vmapped detector (a fresh jit wrapper per call would
+    retrace + recompile on every re-registration)."""
+    @jax.jit
+    def run(gray, threshold):
+        return jax.vmap(lambda g: feat_ops.detect_and_describe(
+            g, threshold=threshold, max_kp=max_kp, border=border,
+            grid=grid))(gray)
+    return run
 
 
 @partial(jax.jit, static_argnames=("match_conf", "max_matches",
