@@ -51,7 +51,15 @@ class FrameStats:
 
 class VideoStitcher:
     def __init__(self, config: Optional[StitchConfig] = None):
-        self.cfg = config or StitchConfig()
+        import dataclasses as _dc
+        cfg = config or StitchConfig()
+        if cfg.scales.compose_megapix > 0:
+            # The hot loop consumes raw full-resolution frames through the
+            # LUT (reference RT driver works at native 1080p); maps must be
+            # built in full-res source coordinates.
+            cfg = cfg.replace(scales=_dc.replace(cfg.scales,
+                                                 compose_megapix=-1.0))
+        self.cfg = cfg
         self.stitcher = Stitcher(self.cfg)
         self._lock = threading.Lock()
         self._lut: Optional[CompositeLUT] = None

@@ -159,3 +159,13 @@ def test_dynamic_seam_8cam_mode():
     assert vs.registrations >= 2          # the 30s policy fired (period=0)
     pano = vs.composite(list(views))
     assert pano.shape[1] > 800            # wide 8-cam canvas
+
+
+def test_video_forces_full_res_maps():
+    """Maps must be in raw-frame coordinates regardless of compose_megapix
+    (the hot loop never resizes frames)."""
+    import dataclasses as dc
+    cfg = _cfg()
+    cfg = cfg.replace(scales=dc.replace(cfg.scales, compose_megapix=0.01))
+    vs = VideoStitcher(cfg)
+    assert vs.cfg.scales.compose_megapix == -1.0
