@@ -6,6 +6,7 @@ matrix (TPU-friendly: tiny, batched) instead of an SVD of the 2M x 9 system.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,7 +35,9 @@ def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.
     r1 = jnp.stack([-x, -y, -one, zero, zero, zero, x * xp, y * xp, xp], -1)
     r2 = jnp.stack([zero, zero, zero, -x, -y, -one, x * yp, y * yp, yp], -1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)  # [2M,9]
-    AtA = A.T @ A
+    # full f32 accumulation: TPU's default matmul precision (bf16 passes)
+    # visibly degrades the homography conditioning
+    AtA = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
     _, vecs = jnp.linalg.eigh(AtA)
     h = vecs[:, 0]
     Hn = h.reshape(3, 3)

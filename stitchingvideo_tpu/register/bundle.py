@@ -121,8 +121,9 @@ def bundle_adjust(focals0: jnp.ndarray, Rs0: jnp.ndarray,
         r = res_flat(x)
         J = jax.jacfwd(res_flat)(x)  # [R, P]
         J = J * mask[None, :]
-        JtJ = J.T @ J
-        Jtr = J.T @ r
+        # LM normal equations need full f32 accumulation on TPU
+        JtJ = jnp.matmul(J.T, J, precision=jax.lax.Precision.HIGHEST)
+        Jtr = jnp.matmul(J.T, r, precision=jax.lax.Precision.HIGHEST)
         d = jnp.diag(JtJ)
         A = JtJ + lam * jnp.diag(jnp.maximum(d, 1e-8)) + 1e-8 * jnp.eye(JtJ.shape[0])
         delta = jnp.linalg.solve(A, -Jtr) * mask
