@@ -45,6 +45,9 @@ class RegistrationConfig:
     ba_kind: str = "ray"              # 'ray' | 'reproj' | 'no'
     ba_refine_mask: str = "xxxxx"     # fx,skew,ppx,aspect,ppy refinement flags
     ba_iters: int = 50                # fixed LM outer iterations
+    ba_min_inliers: int = 12          # pairs below this don't become BA edges
+                                      # (a near-threshold spurious pair with a
+                                      # handful of false inliers can poison LM)
     wave_correct: Optional[str] = "horiz"  # 'horiz' | 'vert' | None
 
 

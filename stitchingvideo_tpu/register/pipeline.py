@@ -219,22 +219,30 @@ def estimate_cameras(features: List[dict], pairs: List[PairResult],
     sizes = [features[g]["img_wh"] for g in keep]
     focals, Rs = est_mod.estimate_rotations(sizes, pair_info)
 
-    if rc.ba_kind in ("ray", "reproj") and good_pairs:
-        E = len(good_pairs)
-        M = good_pairs[0].pts1.shape[0]
-        edge_i = np.array([remap_idx[p.src] for p in good_pairs], np.int32)
-        edge_j = np.array([remap_idx[p.dst] for p in good_pairs], np.int32)
-        pts1 = np.stack([p.pts1 for p in good_pairs]).astype(np.float32)
-        pts2 = np.stack([p.pts2 for p in good_pairs]).astype(np.float32)
-        w = np.stack([p.inlier_w for p in good_pairs]).astype(np.float32)
+    ba_pairs = [p for p in good_pairs if p.num_inliers >= rc.ba_min_inliers]
+    if rc.ba_kind in ("ray", "reproj") and ba_pairs:
+        edge_i = np.array([remap_idx[p.src] for p in ba_pairs], np.int32)
+        edge_j = np.array([remap_idx[p.dst] for p in ba_pairs], np.int32)
+        pts1 = np.stack([p.pts1 for p in ba_pairs]).astype(np.float32)
+        pts2 = np.stack([p.pts2 for p in ba_pairs]).astype(np.float32)
+        w = np.stack([p.inlier_w for p in ba_pairs]).astype(np.float32)
         refine_focal = rc.ba_refine_mask[0] == "x"
         focals_j, Rs_j, _cost = bundle_adjust(
             jnp.asarray(focals), jnp.asarray(Rs),
             jnp.asarray(edge_i), jnp.asarray(edge_j),
             jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(w),
             kind=rc.ba_kind, iters=rc.ba_iters, refine_focal=refine_focal)
-        focals = np.asarray(focals_j)
-        Rs = np.asarray(Rs_j)
+        new_focals = np.asarray(focals_j)
+        new_Rs = np.asarray(Rs_j)
+        # sanity gate: a poisoned edge can make LM diverge (negative or wild
+        # focals). Fall back to the homography-based initialization rather
+        # than shipping a broken registration (reference retry stance,
+        # 64-bit driver :822-826).
+        med = float(np.median(focals))
+        sane = np.all(np.isfinite(new_focals)) and             np.all(new_focals > 0.2 * med) and np.all(new_focals < 5.0 * med)
+        if sane:
+            focals = new_focals
+            Rs = new_Rs
         # gauge fix: normalize to spanning-tree center camera
         weight = {(i, j): float(ni) for (i, j), (_H, ni) in pair_info.items()}
         _tree, center = graph_mod.max_spanning_tree(len(keep), weight)
