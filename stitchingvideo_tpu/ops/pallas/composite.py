@@ -100,6 +100,11 @@ def _build(cam_idx, src_x, src_y, gain, pano_hw, frame_hw):
                 .reshape(nty * ntx, 1, P)
 
     camt, sxt, syt, gt = tiles(cam), tiles(sx), tiles(sy), tiles(g)
+    # edge pixels may carry coords in (W-1, W-0.5) from the <W-0.5 validity
+    # convention; clamp to the last source pixel (the gather path clamps its
+    # taps identically)
+    sxt = jnp.clip(sxt, 0.0, fw - 1.0)
+    syt = jnp.clip(syt, 0.0, fh - 1.0)
     valid = camt[:, 0, :] >= 0
 
     big = jnp.int32(1 << 20)
