@@ -163,8 +163,34 @@ class VideoStitcher:
 
     # -- hot path ------------------------------------------------------
     def composite(self, frames: List[np.ndarray]) -> np.ndarray:
-        """One frame through the cached LUT (StitchingAll parity). HWC uint8."""
-        return np.asarray(self.composite_device(jnp.asarray(np.stack(frames))))
+        """One frame through the cached registration. HWC uint8.
+
+        cfg.video.compose_mode selects the hot path:
+          'lut'       — reference-parity seam-select gather (StitchingAll),
+                        Pallas-accelerated (the default and fastest);
+          'feather' / 'multiband' — full blending through the cached warp
+                        fields + seam masks every frame (beyond-reference
+                        quality mode; heavier).
+        """
+        mode = self.cfg.video.compose_mode
+        if mode == "lut":
+            return np.asarray(
+                self.composite_device(jnp.asarray(np.stack(frames))))
+        return self._composite_blend(frames, mode)
+
+    def _composite_blend(self, frames: List[np.ndarray], mode: str) -> np.ndarray:
+        from ..models.stitcher import _blend_on_canvas, _remap_gain_batch
+        with self._lock:
+            reg = self._reg
+        if reg is None:
+            raise RuntimeError("not registered yet")
+        batch = jnp.asarray(np.stack(frames)).astype(jnp.float32)
+        warped = _remap_gain_batch(batch, reg.xmaps, reg.ymaps, reg.gain_maps)
+        pano, _mask = _blend_on_canvas(
+            warped, reg.seam_masks, reg.valid, np.asarray(reg.corners),
+            reg.canvas_wh, mode, self.cfg.compose.blend_strength,
+            self.cfg.compose.feather_sharpness)
+        return np.asarray(jnp.clip(jnp.round(pano), 0, 255).astype(jnp.uint8))
 
     def composite_device(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Device-resident hot path (no host transfer), HWC output.

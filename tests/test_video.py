@@ -169,3 +169,20 @@ def test_video_forces_full_res_maps():
     cfg = cfg.replace(scales=dc.replace(cfg.scales, compose_megapix=0.01))
     vs = VideoStitcher(cfg)
     assert vs.cfg.scales.compose_megapix == -1.0
+
+
+def test_video_feather_compose_mode(scene):
+    """Beyond-reference video mode: full feather blend through cached fields."""
+    import dataclasses as dc
+    views, *_ = scene
+    cfg = _cfg()
+    cfg = cfg.replace(video=dc.replace(cfg.video, compose_mode="feather"))
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    pano = vs.composite(list(views))
+    assert pano.dtype == np.uint8
+    assert pano.shape[1] > 500 and (pano > 0).mean() > 0.3
+    # lut mode still works on the same instance's registration
+    vs.cfg = vs.cfg.replace(video=dc.replace(vs.cfg.video, compose_mode="lut"))
+    pano2 = vs.composite(list(views))
+    assert pano2.shape[2] == 3
