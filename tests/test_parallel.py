@@ -62,3 +62,25 @@ def test_dryrun_multichip():
     assert out.shape == (96, 256, 3)
     if len(jax.devices()) >= 8:
         dryrun_multichip(8)
+
+
+def test_sharded_mat_composite_matches_single(mesh8, rng):
+    """The materialized kernel sharded over canvas row-bands == single-device."""
+    from stitchingvideo_tpu.ops.pallas.composite_mat import (
+        build_mat_lut, composite_mat_planar, frames_to_planar_i8)
+    from stitchingvideo_tpu.parallel.compose_mat import (
+        shard_mat_lut, sharded_composite_mat_fn)
+    from tests.test_pallas_composite import _make_state
+
+    frames, lut = _make_state(rng)
+    mlut = build_mat_lut(lut, (128, 512))
+    assert mlut.vx.shape[0] % 8 == 0  # Tg divisible by 8 devices
+    planar = frames_to_planar_i8(frames)
+    ref = np.asarray(composite_mat_planar(planar, mlut, interpret=True))
+
+    sharded = shard_mat_lut(mlut, mesh8)
+    fn = sharded_composite_mat_fn(mesh8, mlut, interpret=True)
+    out = fn(planar, sharded)
+    got = np.asarray(out)[:, :ref.shape[1], :ref.shape[2]]
+    np.testing.assert_array_equal(got, ref)
+    assert len(out.sharding.device_set) == 8
