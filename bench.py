@@ -68,13 +68,18 @@ def main():
     # into the program). Frames stream MICRO-BATCHED (B per execution) —
     # the production serving shape; it also amortizes the ~35 ms
     # per-execution overhead of the remote-TPU relay in this environment.
-    B = 8
+    B = 16
     rng = np.random.default_rng(1)
-    path = "pallas_mat"
+    path = "pallas_mat2"
     try:
-        from stitchingvideo_tpu.ops.pallas.composite_mat import (
-            build_mat_lut, composite_mat_planar)
-        state = jax.device_put(build_mat_lut(lut, frames_np.shape[1:3]))
+        try:
+            from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+                build_mat2_lut as _build, composite_mat2_planar as _compose)
+        except Exception:
+            from stitchingvideo_tpu.ops.pallas.composite_mat import (
+                build_mat_lut as _build, composite_mat_planar as _compose)
+            path = "pallas_mat"
+        state = jax.device_put(_build(lut, frames_np.shape[1:3]))
         if int(state.n_fallback) != 0:
             raise RuntimeError(f"{int(state.n_fallback)} fallback tiles")
         n, fh, fw = frames_np.shape[:3]
@@ -84,7 +89,7 @@ def main():
 
         @jax.jit
         def step(fb, s):
-            outs = jax.lax.map(lambda f: composite_mat_planar(f, s), fb)
+            outs = jax.lax.map(lambda f: _compose(f, s), fb)
             return outs[:, :, 301, ::401].astype(jnp.int32).sum(axis=(1, 2))
     except Exception:
         path = "xla_gather"

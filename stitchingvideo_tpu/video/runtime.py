@@ -125,6 +125,12 @@ class VideoStitcher:
             if int(tlut.n_fallback) != 0:
                 return None
             try:
+                from ..ops.pallas.composite_mat2 import _materialize2
+                return ("mat2",
+                        jax.device_put(_materialize2(tlut, tuple(frame_hw))))
+            except Exception:
+                pass
+            try:
                 return ("mat", jax.device_put(_materialize(tlut)))
             except Exception:
                 return ("tiled", jax.device_put(tlut))
@@ -213,15 +219,17 @@ class VideoStitcher:
         """
         with self._lock:
             tlut = self._tlut
-        if tlut is None or tlut[0] != "mat":
-            raise RuntimeError("micro-batch path requires the materialized "
+        if tlut is None or tlut[0] not in ("mat", "mat2"):
+            raise RuntimeError("micro-batch path requires a materialized "
                                "Pallas LUT (register() first)")
-        from ..ops.pallas.composite_mat import composite_mat_planar
         interpret = jax.default_backend() != "tpu"
         ml = tlut[1]
-        return jax.lax.map(
-            lambda f: composite_mat_planar(f, ml, interpret=interpret),
-            planar_batch)
+        if tlut[0] == "mat2":
+            from ..ops.pallas.composite_mat2 import composite_mat2_planar as fn
+        else:
+            from ..ops.pallas.composite_mat import composite_mat_planar as fn
+        return jax.lax.map(lambda f: fn(f, ml, interpret=interpret),
+                           planar_batch)
 
     def composite_planar(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Hot path returning channel-planar [3, H, W] when on a Pallas path
@@ -232,6 +240,11 @@ class VideoStitcher:
         if lut is None:
             raise RuntimeError("not registered yet")
         interpret = jax.default_backend() != "tpu"
+        if tlut is not None and tlut[0] == "mat2":
+            from ..ops.pallas.composite_mat import frames_to_planar_i8
+            from ..ops.pallas.composite_mat2 import composite_mat2_planar
+            return composite_mat2_planar(frames_to_planar_i8(batch), tlut[1],
+                                         interpret=interpret)
         if tlut is not None and tlut[0] == "mat":
             from ..ops.pallas.composite_mat import composite_mat
             return composite_mat(batch, tlut[1], interpret=interpret)
