@@ -82,17 +82,38 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= mx, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_kp", "border", "grid"))
+def harris_score_map(gray: jnp.ndarray) -> jnp.ndarray:
+    """Pure Harris response (the 'harris_brief' detector option — corners
+    without the FAST contrast gate; more stable on low-contrast content)."""
+    g = gray.astype(jnp.float32)
+    ix = filters.sobel(g, 1, 0)
+    iy = filters.sobel(g, 0, 1)
+    k = filters.gaussian_kernel(7, 2.0)
+    sxx = filters.sep_filter2d(ix * ix, k, k)
+    syy = filters.sep_filter2d(iy * iy, k, k)
+    sxy = filters.sep_filter2d(ix * iy, k, k)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return jnp.maximum(det - 0.04 * tr * tr, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector"))
 def detect(gray: jnp.ndarray, threshold: float = 20.0, max_kp: int = 1024,
-           border: int = 24, grid=(3, 1)):
+           border: int = 24, grid=(3, 1), detector: str = "fast"):
     """Top-k FAST/Harris keypoints.
 
     Returns (xy [K,2] float32, response [K], valid [K] bool).
     A per-grid-cell score normalization spreads keypoints spatially, echoing
     OrbFeaturesFinder's grid partition (reference matchers.cpp:370-434).
+    detector: 'fast' (FAST-9/16 gate + Harris rank) or 'harris' (pure Harris).
     """
     H, W = gray.shape
-    score = _nms3(fast_score_map(gray, threshold))
+    if detector == "harris":
+        raw = harris_score_map(gray)
+        raw = jnp.where(raw > threshold, raw, 0.0)
+    else:
+        raw = fast_score_map(gray, threshold)
+    score = _nms3(raw)
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
     inb = (xx >= border) & (xx < W - border) & (yy >= border) & (yy < H - border)
@@ -191,14 +212,16 @@ def descriptors(blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jn
     return (va < vb).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("max_kp", "border", "grid"))
+@partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector"))
 def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
-                        max_kp: int = 1024, border: int = 24, grid=(3, 1)):
+                        max_kp: int = 1024, border: int = 24, grid=(3, 1),
+                        detector: str = "fast"):
     """Full per-image feature pipeline (single scale).
 
     Returns dict(xy, response, angle, valid, desc) with static shapes.
     """
-    xy, response, valid = detect(gray, threshold, max_kp, border, grid)
+    xy, response, valid = detect(gray, threshold, max_kp, border, grid,
+                                 detector)
     ang = orientations(gray, xy)
     blurred = filters.gaussian_blur(gray.astype(jnp.float32), 7, 2.0)
     desc = descriptors(blurred, xy, ang)

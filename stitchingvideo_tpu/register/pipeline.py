@@ -63,8 +63,9 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     if len(shapes) == 1 and len(images) > 1 and fc.num_levels == 1:
         batch = jnp.asarray(np.stack(images))
         gray = color.rgb_to_gray(batch) if batch.ndim == 4 else batch.astype(jnp.float32)
-        f = _batched_detector(fc.max_keypoints, fc.border, fc.grid)(
-            gray, fc.fast_threshold)
+        det = "harris" if fc.kind == "harris_brief" else "fast"
+        f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det)(
+            gray, fc.fast_threshold if det == "fast" else 1.0)
         wh = (int(gray.shape[2]), int(gray.shape[1]))
         return [{**{k: v[i] for k, v in f.items()}, "img_wh": wh}
                 for i in range(len(images))]
@@ -78,9 +79,11 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
                 border=fc.border, grid=fc.grid, levels=fc.num_levels,
                 scale_factor=fc.scale_factor)
         else:
+            det = "harris" if fc.kind == "harris_brief" else "fast"
             f = feat_ops.detect_and_describe(
-                gray, threshold=fc.fast_threshold, max_kp=fc.max_keypoints,
-                border=fc.border, grid=fc.grid)
+                gray, threshold=fc.fast_threshold if det == "fast" else 1.0,
+                max_kp=fc.max_keypoints, border=fc.border, grid=fc.grid,
+                detector=det)
         f = dict(f)
         f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
         out.append(f)
@@ -91,14 +94,14 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_detector(max_kp, border, grid):
+def _batched_detector(max_kp, border, grid, detector="fast"):
     """Cached jitted vmapped detector (a fresh jit wrapper per call would
     retrace + recompile on every re-registration)."""
     @jax.jit
     def run(gray, threshold):
         return jax.vmap(lambda g: feat_ops.detect_and_describe(
             g, threshold=threshold, max_kp=max_kp, border=border,
-            grid=grid))(gray)
+            grid=grid, detector=detector))(gray)
     return run
 
 

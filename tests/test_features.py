@@ -114,3 +114,19 @@ def test_pyramid_features_scale_tolerance(rng):
     ratio = xy2 / np.maximum(xy1, 1e-6)
     good = np.abs(ratio - 1.4) < 0.12
     assert (good.all(axis=1)).mean() > 0.4
+
+
+def test_harris_brief_detector(rng):
+    """The 'harris_brief' feature kind detects and matches."""
+    img = _textured(rng)
+    sh = np.roll(img, (0, 8), axis=(0, 1))
+    f1 = F.detect_and_describe(jnp.asarray(img), 1.0, 256, detector="harris")
+    f2 = F.detect_and_describe(jnp.asarray(sh), 1.0, 256, detector="harris")
+    assert int(np.asarray(f1["valid"]).sum()) > 50
+    src, dst, dist, valid = match_pair(f1["desc"], f1["valid"], f2["desc"], f2["valid"])
+    valid = np.asarray(valid)
+    assert valid.sum() > 30
+    xy1 = np.asarray(f1["xy"])[np.asarray(src)[valid]]
+    xy2 = np.asarray(f2["xy"])[np.asarray(dst)[valid]]
+    good = (np.abs(xy2[:, 0] - xy1[:, 0] - 8) < 2) & (np.abs(xy2[:, 1] - xy1[:, 1]) < 2)
+    assert good.mean() > 0.6
