@@ -186,3 +186,44 @@ def test_video_feather_compose_mode(scene):
     vs.cfg = vs.cfg.replace(video=dc.replace(vs.cfg.video, compose_mode="lut"))
     pano2 = vs.composite(list(views))
     assert pano2.shape[2] == 3
+
+
+def test_video_with_undistortion():
+    """Undistort-enabled video: registration on undistorted frames, LUT
+    composed with the undistort map (single-gather hot loop)."""
+    import dataclasses as dc
+    from stitchingvideo_tpu.config import UndistortConfig
+    from stitchingvideo_tpu.geometry.undistort import build_undistort_map, distort_normalized
+    views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=7)
+    # synthesize distorted captures: sample each clean view through the
+    # distortion model (what a real lens would record)
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.ops.remap import remap
+    und = UndistortConfig(enabled=True, fx=300.0, fy=300.0, cx=192.0, cy=144.0,
+                          dist=(-0.12, 0.02, 0.0, 0.0))
+    H, W = 288, 384
+    # distorted image D: D(p_d) = clean(p_ideal) where p_d = distort(p_ideal).
+    # Build D by sampling clean at the UNDISTORTED position of each p_d pixel
+    # (inverse via the undistort map's own fixed-point approx: use small
+    # distortion so one Newton step via the forward model suffices).
+    u = (np.arange(W) - und.cx) / und.fx
+    v = (np.arange(H) - und.cy) / und.fy
+    xg, yg = np.meshgrid(u, v)
+    # invert distortion approximately: p_ideal ~ p_d - (distort(p_d) - p_d)
+    xd, yd = distort_normalized(jnp.asarray(xg), jnp.asarray(yg), und.dist)
+    xi = 2 * xg - np.asarray(xd)
+    yi = 2 * yg - np.asarray(yd)
+    sx = xi * und.fx + und.cx
+    sy = yi * und.fy + und.cy
+    distorted = [np.asarray(remap(jnp.asarray(vw), jnp.asarray(sx.astype(np.float32)),
+                                  jnp.asarray(sy.astype(np.float32)),
+                                  interp="linear", border="replicate"))
+                 for vw in views]
+    cfg = _cfg()
+    cfg = cfg.replace(undistort=und)
+    vs = VideoStitcher(cfg)
+    vs.register(distorted)
+    pano = vs.composite(distorted)
+    assert (pano > 0).mean() > 0.4
+    assert pano.shape[1] > 500
