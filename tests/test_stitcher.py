@@ -101,3 +101,18 @@ def test_registration_state_roundtrip(tmp_path):
     pano1, _ = st.compose_panorama(views, reg, reg_result, cscale)
     pano2, _ = st.compose_panorama(views, reg2, reg_result, cscale)
     np.testing.assert_array_equal(pano1, pano2)
+
+
+@pytest.mark.parametrize("kind", ["fisheye", "mercator", "paniniA2B1",
+                                  "stereographic"])
+def test_stitch_exotic_warp_types(kind):
+    """Integration smoke: the full pipeline runs for non-default projections
+    (ROI detection + map rasterization + blending)."""
+    views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
+                                     overlap_frac=0.45, seed=6)
+    cfg = _cfg(warp_type=kind, blend_type="feather", seam_find="voronoi",
+               expos_comp="no")
+    pano, mask = Stitcher(cfg).stitch(views)
+    assert mask.any()
+    assert pano.shape[0] > 50 and pano.shape[1] > 200
+    assert pano[mask].mean() > 30
