@@ -7,12 +7,11 @@ ops/remap.py automatically (build returns fallback tiles > 0).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 
-from ...video import lut as lut_mod  # noqa: F401  (type reference)
-from .composite import TiledLUT, build_tiled_lut, composite_tiled
+from .composite import build_tiled_lut, composite_tiled
 
 
 def remap_tiled(image: jnp.ndarray, xmap: jnp.ndarray, ymap: jnp.ndarray,

@@ -10,10 +10,9 @@ logically in HBM).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.pallas.composite_mat import GPAD, MatLUT, composite_mat_planar
+from ..ops.pallas.composite_mat import MatLUT, composite_mat_planar
 
 
 def shard_mat_lut(mlut: MatLUT, mesh: Mesh) -> MatLUT:
@@ -51,7 +50,7 @@ def sharded_composite_mat_fn(mesh: Mesh, mlut: MatLUT, interpret: bool = False):
     nty, ntx = mlut.grid_hw
 
     def local(planar, vx, vy, gcs, tcam, torg, tband, nfb):
-        from ..ops.pallas.composite_mat import GROUP, TILE_H, TILE_W
+        from ..ops.pallas.composite_mat import GROUP, TILE_H
         lml = MatLUT(vx=vx, vy=vy, gcs=gcs, tile_cam=tcam, tile_org=torg,
                      tile_band=tband, n_fallback=nfb,
                      grid_hw=(nty // ndev, ntx),

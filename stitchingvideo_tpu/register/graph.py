@@ -8,8 +8,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence, Tuple
 
-import numpy as np
-
 
 class DisjointSets:
     def __init__(self, n: int):
