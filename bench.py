@@ -110,7 +110,7 @@ def main():
     # it a remote-TPU relay reports fantasy numbers (dead outputs never run).
     for b in batches:
         np.asarray(step(b, state))
-    iters = 4
+    iters = 6
     t0 = time.perf_counter()
     all_sums = [tuple(np.asarray(step(batches[i % 4], state)))
                 for i in range(iters)]
