@@ -227,3 +227,46 @@ def test_video_with_undistortion():
     pano = vs.composite(distorted)
     assert (pano > 0).mean() > 0.4
     assert pano.shape[1] > 500
+
+
+def test_shm_producer_pipeline(tmp_path):
+    """Full cross-process ingest: N replay producer processes (the
+    reference's GetFromRtsp model) -> SharedMemorySource -> frames."""
+    import imageio.v3 as iio
+    from stitchingvideo_tpu.video.sharemem import ShmRing
+    from stitchingvideo_tpu.video.sources import (SharedMemorySource,
+                                                  spawn_replay_producer)
+    rng = np.random.default_rng(0)
+    names, procs = [], []
+    try:
+        for c in range(2):
+            img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+            p = tmp_path / f"cam{c}.png"
+            iio.imwrite(p, img)
+            name = f"/svt_pipe_{int(time.time() * 1e6) % 10**9}_{c}"
+            names.append(name)
+            procs.append(spawn_replay_producer(name, str(p), fps=20.0,
+                                               frames=200))
+        # wait for producers to come up
+        deadline = time.time() + 60
+        src = None
+        while time.time() < deadline:
+            try:
+                src = SharedMemorySource(names, timeout_s=5.0)
+                break
+            except OSError:
+                time.sleep(0.2)
+        assert src is not None, "producers never came up"
+        frames = src.read()
+        assert frames is not None and len(frames) == 2
+        assert frames[0].shape == (48, 64, 3)
+        src.close()
+    finally:
+        for p in procs:
+            p.terminate()
+            p.wait()
+        for n in names:
+            try:
+                ShmRing.open(n).close(unlink=True)
+            except OSError:
+                pass
