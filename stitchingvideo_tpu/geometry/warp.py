@@ -20,6 +20,16 @@ from ..ops import remap as remap_mod
 from . import projections as proj
 
 
+@partial(jax.jit, static_argnames=("kind", "w", "h"))
+def _roi_scan(kind: str, scale, r_kinv, w: int, h: int):
+    """Full-grid forward extrema in ONE compiled dispatch (an eager scan
+    issues ~20 device round-trips per camera)."""
+    gx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    gy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    u, v = proj.map_forward(kind, scale, r_kinv, gx.reshape(-1), gy.reshape(-1))
+    return jnp.stack([u.min(), u.max(), v.min(), v.max()])
+
+
 def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
                       src_size: Tuple[int, int],
                       grid_step: int = 1) -> Tuple[int, int, int, int]:
@@ -30,20 +40,11 @@ def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
     RotationWarperBase::detectResultRoi (warpers_inl.hpp:144-163); spherical
     additionally extends for visible poles (src/warpers.cpp:171-212).
     """
+    del grid_step  # full-grid scan is one fused device reduction
     w, h = src_size
     r_kinv, k_rinv = proj.camera_maps(np.asarray(K, np.float32), np.asarray(R, np.float32))
-    xs = np.arange(0, w, grid_step, dtype=np.float32)
-    if xs[-1] != w - 1:
-        xs = np.append(xs, np.float32(w - 1))
-    ys = np.arange(0, h, grid_step, dtype=np.float32)
-    if ys[-1] != h - 1:
-        ys = np.append(ys, np.float32(h - 1))
-    gx, gy = np.meshgrid(xs, ys)
-    u, v = proj.map_forward(kind, scale, jnp.asarray(r_kinv), gx.ravel(), gy.ravel())
-    u = np.asarray(u)
-    v = np.asarray(v)
-    tl_u, br_u = float(u.min()), float(u.max())
-    tl_v, br_v = float(v.min()), float(v.max())
+    ext = np.asarray(_roi_scan(kind, float(scale), jnp.asarray(r_kinv), w, h))
+    tl_u, br_u, tl_v, br_v = float(ext[0]), float(ext[1]), float(ext[2]), float(ext[3])
 
     if kind == "spherical":
         # Pole visibility: pano-frame pole rays (0, ±1, 0) projected through

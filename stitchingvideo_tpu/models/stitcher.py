@@ -69,6 +69,19 @@ def _warp_with_maps(image, kind, scale, k_rinv, corner_xy, shape, interp, border
     return out, xm, ym, valid
 
 
+@partial(jax.jit, static_argnames=("kind", "shape"))
+def _seam_warp_batch(images, kind, scale, k_rinvs, corners, shape):
+    """All cameras' seam-scale warps in ONE dispatch (image linear/reflect +
+    mask nearest/constant), vmapped over the camera axis."""
+    def one(img, k_rinv, corner):
+        xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner, shape)
+        w = remap(img, xm, ym, interp="linear", border="reflect")
+        ones = jnp.ones(img.shape[:2], jnp.float32)
+        m = remap(ones, xm, ym, interp="nearest", border="constant")
+        return w, (m > 0) & valid
+    return jax.vmap(one)(images, k_rinvs, corners)
+
+
 class Stitcher:
     """High-level stitcher. See module docstring."""
 
@@ -108,8 +121,8 @@ class Stitcher:
         seam_imgs = [_resize(im, seam_scale) for im in full_kept]
         s_scale = warped_image_scale * seam_work_aspect
         s_corners: List[Tuple[int, int]] = []
-        s_warped: List[np.ndarray] = []
-        s_masks: List[np.ndarray] = []
+        s_shapes: List[Tuple[int, int]] = []
+        k_rinvs = []
         for i in range(n):
             K = np.asarray(cams.K()[i]).astype(np.float64)
             K[0] *= seam_work_aspect
@@ -117,18 +130,35 @@ class Stitcher:
             R = np.asarray(cams.R[i])
             hs, ws = seam_imgs[i].shape[:2]
             tlx, tly, brx, bry = detect_result_roi(kind, s_scale, K, R, (ws, hs))
-            shape = (_bucket(bry - tly + 1), _bucket(brx - tlx + 1))
-            _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
-            img_w, _xm, _ym, valid = _warp_with_maps(
-                jnp.asarray(seam_imgs[i]), kind, s_scale, jnp.asarray(k_rinv),
-                jnp.asarray([tlx, tly], jnp.float32), shape, "linear", "reflect")
-            ones = jnp.ones(seam_imgs[i].shape[:2], jnp.float32)
-            mask_w, _, _, _ = _warp_with_maps(
-                ones, kind, s_scale, jnp.asarray(k_rinv),
-                jnp.asarray([tlx, tly], jnp.float32), shape, "nearest", "constant")
             s_corners.append((tlx, tly))
-            s_warped.append(np.asarray(img_w))
-            s_masks.append(np.asarray(mask_w > 0) & np.asarray(valid))
+            s_shapes.append((_bucket(bry - tly + 1), _bucket(brx - tlx + 1)))
+            _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
+            k_rinvs.append(np.asarray(k_rinv))
+        same_img = len({im.shape for im in seam_imgs}) == 1
+        shape = (max(sh[0] for sh in s_shapes), max(sh[1] for sh in s_shapes))
+        if same_img:
+            # one dispatch + one fetch for all cameras
+            wb, mb = _seam_warp_batch(
+                jnp.asarray(np.stack(seam_imgs)), kind, s_scale,
+                jnp.asarray(np.stack(k_rinvs)),
+                jnp.asarray(np.array(s_corners, np.float32)), shape)
+            s_warped = list(np.asarray(wb))
+            s_masks = list(np.asarray(mb))
+        else:
+            s_warped, s_masks = [], []
+            for i in range(n):
+                img_w, _xm, _ym, valid = _warp_with_maps(
+                    jnp.asarray(seam_imgs[i]), kind, s_scale,
+                    jnp.asarray(k_rinvs[i]),
+                    jnp.asarray(s_corners[i], jnp.float32), shape,
+                    "linear", "reflect")
+                ones = jnp.ones(seam_imgs[i].shape[:2], jnp.float32)
+                mask_w, _, _, _ = _warp_with_maps(
+                    ones, kind, s_scale, jnp.asarray(k_rinvs[i]),
+                    jnp.asarray(s_corners[i], jnp.float32), shape,
+                    "nearest", "constant")
+                s_warped.append(np.asarray(img_w))
+                s_masks.append(np.asarray(mask_w > 0) & np.asarray(valid))
 
         # seam-scale canvas
         sx0 = min(c[0] for c in s_corners)
