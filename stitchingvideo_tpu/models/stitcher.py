@@ -69,6 +69,33 @@ def _warp_with_maps(image, kind, scale, k_rinv, corner_xy, shape, interp, border
     return out, xm, ym, valid
 
 
+@partial(jax.jit, static_argnames=("kind", "shape", "ratio"))
+def _compose_fields_batch(kind, scale, k_rinvs, corners, wh, roi_hw, shape,
+                          seam_canvas, gain_canvas, canvas_origin, ratio):
+    """All cameras' compose-scale fields in ONE dispatch: backward maps,
+    validity, seam-mask and gain-map transfers from the seam canvas."""
+    Hr, Wr = shape
+
+    def one(k_rinv, corner, wh_i, roi_i, seam_i, gain_i):
+        xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner,
+                                               (Hr, Wr))
+        inb = (xm > -0.5) & (xm < wh_i[0] - 0.5) &               (ym > -0.5) & (ym < wh_i[1] - 0.5)
+        yy_r = jnp.arange(Hr) < roi_i[0]
+        xx_r = jnp.arange(Wr) < roi_i[1]
+        v = valid & inb & (yy_r[:, None] & xx_r[None, :])
+        yy = (jnp.arange(Hr, dtype=jnp.float32) + corner[1]) * ratio             - canvas_origin[1]
+        xx = (jnp.arange(Wr, dtype=jnp.float32) + corner[0]) * ratio             - canvas_origin[0]
+        gy = jnp.broadcast_to(yy[:, None], (Hr, Wr))
+        gx = jnp.broadcast_to(xx[None, :], (Hr, Wr))
+        sm = dilate(seam_i, 3).astype(jnp.float32)
+        seam_r = remap(sm, gx, gy, interp="linear", border="constant")
+        gain_r = remap(gain_i, gx, gy, interp="linear", border="replicate")
+        return xm, ym, v, (seam_r > 0.05) & v, gain_r
+
+    return jax.vmap(one)(k_rinvs, corners, wh, roi_hw, seam_canvas,
+                         gain_canvas)
+
+
 @partial(jax.jit, static_argnames=("kind", "shape"))
 def _seam_warp_batch(images, kind, scale, k_rinvs, corners, shape):
     """All cameras' seam-scale warps in ONE dispatch (image linear/reflect +
@@ -236,45 +263,22 @@ class Stitcher:
         Hr = _bucket(max(s[0] for s in c_shapes), 128)
         Wr = _bucket(max(s[1] for s in c_shapes), 128)
 
-        # device-side field build: no per-camera host round-trips — the maps
+        # device-side field build in ONE dispatch for all cameras — the maps
         # stay in HBM from rasterization straight into the Registration pytree
-        xmaps_l, ymaps_l, valids_l, seam_l, gain_l = [], [], [], [], []
-        seam_canvas_j = jnp.asarray(seam_canvas)
-        gain_canvas_j = jnp.asarray(gain_canvas)
-        ratio = s_scale / c_scale
-        for i in range(n):
-            _, k_rinv = proj.camera_maps(Ks[i].astype(np.float32),
-                                         np.asarray(cams.R[i]))
-            xm, ym, valid = rasterize_backward_map(
-                kind, c_scale, jnp.asarray(k_rinv),
-                jnp.asarray(c_corners[i], jnp.float32), (Hr, Wr))
-            hc = round(full_kept[i].shape[0] * compose_scale)
-            wc = round(full_kept[i].shape[1] * compose_scale)
-            inb = (xm > -0.5) & (xm < wc - 0.5) & (ym > -0.5) & (ym < hc - 0.5)
-            rh, rw = c_shapes[i]
-            yy_r = jnp.arange(Hr) < rh
-            xx_r = jnp.arange(Wr) < rw
-            inside_roi = yy_r[:, None] & xx_r[None, :]
-            v = valid & inb & inside_roi
-            xmaps_l.append(xm)
-            ymaps_l.append(ym)
-            valids_l.append(v)
-
-            # seam + gain transfer: compose-ROI pixel -> seam-canvas pixel
-            yy = (jnp.arange(Hr, dtype=jnp.float32) + c_corners[i][1]) * ratio - sy0
-            xx = (jnp.arange(Wr, dtype=jnp.float32) + c_corners[i][0]) * ratio - sx0
-            gy = jnp.broadcast_to(yy[:, None], (Hr, Wr))
-            gx = jnp.broadcast_to(xx[None, :], (Hr, Wr))
-            sm = dilate(seam_canvas_j[i], 3).astype(jnp.float32)
-            seam_resized = remap(sm, gx, gy, interp="linear", border="constant")
-            seam_l.append((seam_resized > 0.05) & v)
-            gain_l.append(remap(gain_canvas_j[i], gx, gy,
-                                interp="linear", border="replicate"))
-        xmaps = jnp.stack(xmaps_l)
-        ymaps = jnp.stack(ymaps_l)
-        valids = jnp.stack(valids_l)
-        seam_rois = jnp.stack(seam_l)
-        gain_rois = jnp.stack(gain_l)
+        k_rinvs_c = np.stack([np.asarray(proj.camera_maps(
+            Ks[i].astype(np.float32), np.asarray(cams.R[i]))[1])
+            for i in range(n)])
+        wh_arr = np.array([[round(full_kept[i].shape[1] * compose_scale),
+                            round(full_kept[i].shape[0] * compose_scale)]
+                           for i in range(n)], np.float32)
+        roi_arr = np.array(c_shapes, np.int32)
+        xmaps, ymaps, valids, seam_rois, gain_rois = _compose_fields_batch(
+            kind, c_scale, jnp.asarray(k_rinvs_c),
+            jnp.asarray(np.array(c_corners, np.float32)),
+            jnp.asarray(wh_arr), jnp.asarray(roi_arr), (Hr, Wr),
+            jnp.asarray(seam_canvas), jnp.asarray(gain_canvas),
+            jnp.asarray([sx0, sy0], jnp.float32),
+            float(s_scale / c_scale))
 
         # canvas
         cx0 = min(c[0] for c in c_corners)
