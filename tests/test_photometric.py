@@ -65,3 +65,29 @@ def test_blocks_gain_maps_sane(rng):
     d_before = np.abs(canvas[0][ov] - canvas[1][ov]).mean()
     d_after = np.abs(g1[ov] - g2[ov]).mean()
     assert d_after < 0.5 * d_before, (d_before, d_after)
+
+
+def test_blocks_gain_golden_aligned(rng):
+    """With both images at corner (0,0) and equal size, our canvas-aligned
+    block grid coincides with BlocksGainCompensator's per-image grid — gains
+    should agree quantitatively."""
+    base = rng.integers(40, 200, (96, 128, 3)).astype(np.float32)
+    img1 = base.astype(np.uint8)
+    img2 = np.clip(base * 1.2, 0, 255).astype(np.uint8)
+    corners = [(0, 0), (0, 0)]
+    masks = [255 * np.ones((96, 128), np.uint8)] * 2
+    comp = cv2.detail.ExposureCompensator_createDefault(
+        cv2.detail.ExposureCompensator_GAIN_BLOCKS)
+    comp.feed(corners=corners, images=[img1, img2], masks=masks)
+    ref = [np.asarray(g) for g in comp.getMatGains()]
+
+    canvas = np.stack([img1, img2]).astype(np.float32)
+    cmask = np.ones((2, 96, 128), bool)
+    ours = np.asarray(blocks_gain_maps(jnp.asarray(canvas),
+                                       jnp.asarray(cmask), 32))
+    # same block-grid resolution
+    assert ours.shape[1:] == ref[0].shape, (ours.shape, ref[0].shape)
+    for i in range(2):
+        np.testing.assert_allclose(ours[i], ref[i], atol=0.06)
+    # and the gains correct the 1.2x offset in the right direction
+    assert ours[1].mean() < 1.0 < ours[0].mean()
