@@ -107,33 +107,40 @@ class VideoStitcher:
                 lut = self._fit_lut(lut, self._out_shape)
             self._reg = reg
             self._lut = lut
-            self._tlut = self._try_tiled(lut, frame_hw)
+            self._tlut = self._try_tiled(lut, frame_hw,
+                                         self.cfg.video.kernel)
             self._last_reg_time = time.monotonic()
             self.registrations += 1
 
     @staticmethod
-    def _try_tiled(lut: CompositeLUT, frame_hw):
+    def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto"):
         """Build the Pallas fast-path state; None if not representable.
 
-        Prefers the materialized-weights kernel (int8 MXU + streamed
-        interpolation matrices) and falls back to the on-the-fly kernel,
-        then to XLA gather."""
+        Kernel preference (cfg.video.kernel): 'auto' = mat2 > mat > tiled >
+        gather; or pinned. 'mat2' is the fastest hot loop, 'mat' builds its
+        weights ~3x faster per re-registration."""
+        if kernel == "gather":
+            return None
         try:
             from ..ops.pallas.composite import build_tiled_lut
             from ..ops.pallas.composite_mat import _materialize
             tlut = build_tiled_lut(lut, tuple(frame_hw))
             if int(tlut.n_fallback) != 0:
                 return None
-            try:
-                from ..ops.pallas.composite_mat2 import _materialize2
-                return ("mat2",
-                        jax.device_put(_materialize2(tlut, tuple(frame_hw))))
-            except Exception:
-                pass
-            try:
-                return ("mat", jax.device_put(_materialize(tlut)))
-            except Exception:
-                return ("tiled", jax.device_put(tlut))
+            if kernel in ("auto", "mat2"):
+                try:
+                    from ..ops.pallas.composite_mat2 import _materialize2
+                    return ("mat2", jax.device_put(
+                        _materialize2(tlut, tuple(frame_hw))))
+                except Exception:
+                    if kernel == "mat2":
+                        return ("tiled", jax.device_put(tlut))
+            if kernel in ("auto", "mat"):
+                try:
+                    return ("mat", jax.device_put(_materialize(tlut)))
+                except Exception:
+                    pass
+            return ("tiled", jax.device_put(tlut))
         except Exception:
             return None
 

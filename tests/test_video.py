@@ -270,3 +270,18 @@ def test_shm_producer_pipeline(tmp_path):
                 ShmRing.open(n).close(unlink=True)
             except OSError:
                 pass
+
+
+def test_video_kernel_pinning(scene):
+    """cfg.video.kernel pins the composite path."""
+    import dataclasses as dc
+    views, *_ = scene
+    for kernel, expect in (("mat", "mat"), ("gather", None)):
+        cfg = _cfg()
+        cfg = cfg.replace(video=dc.replace(cfg.video, kernel=kernel))
+        vs = VideoStitcher(cfg)
+        vs.register(list(views))
+        got = vs._tlut[0] if vs._tlut else None
+        assert got == expect, (kernel, got)
+        pano = vs.composite(list(views))
+        assert (pano > 0).mean() > 0.3
