@@ -48,6 +48,23 @@ class FrameStats:
         w = self.compose_s[-last:]
         return len(w) / max(sum(w), 1e-9)
 
+    def report(self) -> dict:
+        """Machine-readable per-frame stats (the reference's resultTime*.txt
+        'Stitching Frame'/'Read Frame' logs, SURVEY §4/§5.1, as JSON)."""
+        import numpy as _np
+
+        def stats(xs):
+            if not xs:
+                return {}
+            a = _np.asarray(xs)
+            return {"mean_ms": float(a.mean() * 1e3),
+                    "p50_ms": float(_np.median(a) * 1e3),
+                    "p95_ms": float(_np.percentile(a, 95) * 1e3),
+                    "max_ms": float(a.max() * 1e3)}
+
+        return {"frames": self.frames, "fps": self.fps(),
+                "compose": stats(self.compose_s), "read": stats(self.read_s)}
+
 
 class VideoStitcher:
     def __init__(self, config: Optional[StitchConfig] = None):

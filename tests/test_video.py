@@ -285,3 +285,13 @@ def test_video_kernel_pinning(scene):
         assert got == expect, (kernel, got)
         pano = vs.composite(list(views))
         assert (pano > 0).mean() > 0.3
+
+
+def test_frame_stats_report(scene):
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    src = ReplaySource(views, max_frames=3)
+    vs.run(src, max_frames=3)
+    r = vs.stats.report()
+    assert r["frames"] == 3
+    assert r["compose"]["mean_ms"] > 0
