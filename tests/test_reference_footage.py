@@ -5,6 +5,7 @@ with consistent focals — the same scene whose stitched output ships in the
 reference repo (Release/mystitching.jpg, 8837x1226). Skipped when the
 reference mount is absent.
 """
+import dataclasses
 import os
 
 import numpy as np
@@ -27,8 +28,8 @@ def test_reference_rig_registration():
     imgs = [np.asarray(iio.imread(f"{REF_DIR}/img-{i}.jpg"))[..., :3]
             for i in range(6)]
     cfg = StitchConfig()
-    cfg = cfg.replace(scales=dataclasses.replace(cfg.scales, work_megapix=0.3))
-    ws = _scale_for(0.3, imgs[0].shape[1], imgs[0].shape[0])
+    del dataclasses
+    ws = _scale_for(cfg.scales.work_megapix, imgs[0].shape[1], imgs[0].shape[0])
     work = [_resize(im, ws) for im in imgs]
     reg = register_images(work, cfg, seed=0)
 
@@ -37,11 +38,10 @@ def test_reference_rig_registration():
     focals = np.asarray(reg.cameras.focal)
     med = float(np.median(focals))
     assert np.all(np.abs(focals / med - 1.0) < 0.15), focals
-    # yaw chain covers ~360°: sorted yaws roughly evenly spaced
-    yaws = sorted(
-        Rotation.from_matrix(np.asarray(reg.cameras.R[i], np.float64))
-        .as_rotvec()[1] for i in range(6))
-    gaps = np.diff(yaws)
-    assert np.all(gaps > 0.5) and np.all(gaps < 1.6), yaws
-    span = yaws[-1] - yaws[0]
-    assert 4.0 < span < 5.6, span   # ~5 gaps of ~2pi/6
+    del Rotation
+    # yaw chain covers the full circle: camera z-axes spread evenly in yaw
+    Rs = np.asarray(reg.cameras.R, np.float64)
+    yaws = sorted(float(np.arctan2(R[0, 2], R[2, 2])) for R in Rs)
+    circ = np.diff(yaws + [yaws[0] + 2 * np.pi])   # 6 circular gaps
+    assert np.isclose(circ.sum(), 2 * np.pi, atol=1e-6)
+    assert np.all(circ > 0.5) and np.all(circ < 1.6), yaws
