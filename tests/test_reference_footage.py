@@ -5,7 +5,6 @@ with consistent focals — the same scene whose stitched output ships in the
 reference repo (Release/mystitching.jpg, 8837x1226). Skipped when the
 reference mount is absent.
 """
-import dataclasses
 import os
 
 import numpy as np
@@ -18,7 +17,6 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_reference_rig_registration():
-    import dataclasses
     import imageio.v3 as iio
     from scipy.spatial.transform import Rotation
     from stitchingvideo_tpu.config import StitchConfig
@@ -28,7 +26,6 @@ def test_reference_rig_registration():
     imgs = [np.asarray(iio.imread(f"{REF_DIR}/img-{i}.jpg"))[..., :3]
             for i in range(6)]
     cfg = StitchConfig()
-    del dataclasses
     ws = _scale_for(cfg.scales.work_megapix, imgs[0].shape[1], imgs[0].shape[0])
     work = [_resize(im, ws) for im in imgs]
     reg = register_images(work, cfg, seed=0)
