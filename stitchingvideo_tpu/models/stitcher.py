@@ -114,6 +114,20 @@ class Stitcher:
 
     def __init__(self, config: Optional[StitchConfig] = None):
         self.cfg = config or StitchConfig()
+        self._last_result: Optional[RegistrationResult] = None
+        self._last_work_scale: float = 1.0
+
+    # accessor parity with cv::Stitcher (stitcher.hpp:58-174)
+    def cameras(self) -> Optional[Cameras]:
+        """Estimated cameras of the last estimate_transform (work scale)."""
+        return self._last_result.cameras if self._last_result else None
+
+    def component(self) -> Optional[List[int]]:
+        """Indices of images kept in the panorama (biggest component)."""
+        return self._last_result.indices if self._last_result else None
+
+    def work_scale(self) -> float:
+        return self._last_work_scale
 
     # ------------------------------------------------------------------
     # Phase 1: estimate_transform (stitcher.cpp:91-112)
@@ -126,6 +140,7 @@ class Stitcher:
         seam_scale = _scale_for(cfg.scales.seam_megapix, w0, h0)
         seam_work_aspect = seam_scale / work_scale
 
+        self._last_work_scale = work_scale
         work_imgs = [_resize(im, work_scale) for im in images]
         # staged registration with tracing spans (reference LOG/LOGLN timers,
         # SURVEY §5.1 — 'Finding features', 'Pairwise matching', ...)
@@ -135,6 +150,7 @@ class Stitcher:
             pairs = match_all_pairs(feats, cfg, seed)
         with _tracer.span("estimate_cameras"):
             reg = estimate_cameras(feats, pairs, cfg)
+        self._last_result = reg
         kept = reg.indices
         full_kept = [images[i] for i in kept]
         n = len(kept)

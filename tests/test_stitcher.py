@@ -116,3 +116,16 @@ def test_stitch_exotic_warp_types(kind):
     assert mask.any()
     assert pano.shape[0] > 50 and pano.shape[1] > 200
     assert pano[mask].mean() > 30
+
+
+def test_stitcher_accessors():
+    """cv::Stitcher accessor parity: cameras(), component(), work_scale()."""
+    views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), seed=3)
+    cfg = _cfg(warp_type="cylindrical", blend_type="no", seam_find="voronoi",
+               expos_comp="no")
+    st = Stitcher(cfg)
+    assert st.cameras() is None and st.component() is None
+    st.estimate_transform(views)
+    assert st.cameras() is not None
+    assert sorted(st.component()) == [0, 1, 2]
+    assert 0 < st.work_scale() <= 1.0

@@ -295,3 +295,36 @@ def test_frame_stats_report(scene):
     r = vs.stats.report()
     assert r["frames"] == 3
     assert r["compose"]["mean_ms"] > 0
+
+
+def test_concurrent_composite_during_swap(scene):
+    """Hammer the hot path from one thread while re-registering in another:
+    the atomic LUT swap must never produce a torn read or crash (the
+    reference's Upflag race, SURVEY §5.2, is impossible by design)."""
+    import threading
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    vs.register(list(views))
+    stop = threading.Event()
+    errors = []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                p = vs.composite(list(views))
+                assert p.shape[2] == 3
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for s in range(2):
+            vs.register([np.clip(v.astype(np.int16) + s, 0, 255).astype(np.uint8)
+                         for v in views], seed=s + 1)
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    assert vs.registrations == 3
