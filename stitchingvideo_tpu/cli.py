@@ -113,7 +113,6 @@ def cmd_video(args) -> int:
     else:
         src = VideoFileSource(args.inputs)
     vs = VideoStitcher(cfg)
-    writer = None
     if args.output:
         import imageio.v3 as iio
 

@@ -69,7 +69,7 @@ def _warp_with_maps(image, kind, scale, k_rinv, corner_xy, shape, interp, border
     return out, xm, ym, valid
 
 
-@partial(jax.jit, static_argnames=("kind", "shape", "ratio"))
+@partial(jax.jit, static_argnames=("kind", "shape"))
 def _compose_fields_batch(kind, scale, k_rinvs, corners, wh, roi_hw, shape,
                           seam_canvas, gain_canvas, canvas_origin, ratio):
     """All cameras' compose-scale fields in ONE dispatch: backward maps,
@@ -294,7 +294,7 @@ class Stitcher:
             jnp.asarray(wh_arr), jnp.asarray(roi_arr), (Hr, Wr),
             jnp.asarray(seam_canvas), jnp.asarray(gain_canvas),
             jnp.asarray([sx0, sy0], jnp.float32),
-            float(s_scale / c_scale))
+            jnp.float32(s_scale / c_scale))
 
         # canvas
         cx0 = min(c[0] for c in c_corners)
