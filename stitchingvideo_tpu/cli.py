@@ -79,16 +79,16 @@ def cmd_stitch(args) -> int:
     images = _load_images(args.images)
     st = Stitcher(cfg)
     t0 = time.perf_counter()
-    reg, reg_result, cscale = st.estimate_transform(images)
+    # stitch() routes through the OpenCV-faithful compose path by default
+    # (cfg.compose.faithful) — the PSNR-parity still pipeline
+    pano, mask = st.stitch(images)
     t1 = time.perf_counter()
-    pano, mask = st.compose_panorama(images, reg, reg_result, cscale)
-    t2 = time.perf_counter()
-    print(f"registration: {t1 - t0:.2f}s, compositing: {t2 - t1:.2f}s, "
-          f"pano {pano.shape[1]}x{pano.shape[0]}")
+    print(f"stitched in {t1 - t0:.2f}s, pano {pano.shape[1]}x{pano.shape[0]}")
     if args.save_graph:
         from .register.graph import matches_graph_dot
         names = [str(p) for p in args.images]
-        dot = matches_graph_dot(names, reg_result.pair_stats, args.conf_thresh)
+        dot = matches_graph_dot(names, st._last_result.pair_stats,
+                                args.conf_thresh)
         with open(args.save_graph, "w") as f:
             f.write(dot)
     import imageio.v3 as iio

@@ -65,6 +65,10 @@ class ComposeConfig:
     blend_type: str = "multiband"     # 'no' | 'feather' | 'multiband'
     blend_strength: float = 5.0       # → blend width, bands (CLI :731-750)
     feather_sharpness: float = 0.02   # FeatherBlender default (blenders.hpp:72)
+    faithful: bool = True             # still stitch(): use the OpenCV-faithful
+                                      # compose path (models/compose_cv.py,
+                                      # PSNR>=40dB parity); video keeps the
+                                      # fused LUT fast path either way
 
 
 @dataclasses.dataclass(frozen=True)

@@ -58,8 +58,10 @@ def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
                 if 0 <= px < w and 0 <= py < h:
                     tl_v = min(tl_v, extend_to)
                     br_v = max(br_v, extend_to)
-    return (int(np.floor(tl_u)), int(np.floor(tl_v)),
-            int(np.ceil(br_u)), int(np.ceil(br_v)))
+    # C-style static_cast<int> truncation toward zero on all four bounds —
+    # exact detectResultRoi parity (warpers_inl.hpp:158-162); the +1 sizing
+    # downstream covers the truncated fraction.
+    return (int(tl_u), int(tl_v), int(br_u), int(br_v))
 
 
 @partial(jax.jit, static_argnames=("kind", "shape"))

@@ -355,6 +355,24 @@ class Stitcher:
 
     def stitch(self, images: Sequence[np.ndarray],
                seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        if self.cfg.compose.faithful:
+            # OpenCV-faithful still path (pixel parity, BASELINE north star):
+            # registration at work scale, then the CLI-exact compose flow —
+            # the video Registration/LUT build is skipped entirely.
+            from .compose_cv import compose_panorama_cv
+            from ..register.pipeline import register_images
+            cfg = self.cfg
+            h0, w0 = images[0].shape[:2]
+            work_scale = _scale_for(cfg.scales.work_megapix, w0, h0)
+            self._last_work_scale = work_scale
+            work_imgs = [_resize(im, work_scale) for im in images]
+            with _tracer.span("registration"):
+                reg = register_images(work_imgs, cfg, seed)
+            self._last_result = reg
+            kept = [images[i] for i in reg.indices]
+            return compose_panorama_cv(kept, reg.cameras,
+                                       float(reg.warped_image_scale),
+                                       work_scale, cfg)
         reg, reg_result, compose_scale = self.estimate_transform(images, seed)
         return self.compose_panorama(images, reg, reg_result, compose_scale)
 

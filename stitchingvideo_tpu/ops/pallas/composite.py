@@ -60,7 +60,10 @@ class TiledLUT:
     tile_cam:     [T*2] int32  up to two source cameras per tile (flat)
     tile_org:     [T*4] int32  (oy_a, ox_a, oy_b, ox_b) window origins (flat)
     tile_band:    [T*2] int32  32-granular hat-band offsets within the window
-    n_fallback:   [] int32      tiles not representable (>2 cams / overflow)
+    fallback:     [T] bool      per-tile not-representable flag (>2 cams /
+                                window overflow) — such tiles are composited
+                                by the exact XLA gather and merged post-kernel
+    n_fallback:   [] int32      count of fallback tiles
     grid_hw / pano_hw / frame_hw: static shapes
     """
     sx: jnp.ndarray
@@ -70,6 +73,7 @@ class TiledLUT:
     tile_cam: jnp.ndarray
     tile_org: jnp.ndarray
     tile_band: jnp.ndarray
+    fallback: jnp.ndarray
     n_fallback: jnp.ndarray
     grid_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     pano_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
@@ -152,7 +156,7 @@ def _build(cam_idx, src_x, src_y, gain, pano_hw, frame_hw):
     tile_band = jnp.stack(bands, axis=1).astype(jnp.int32).reshape(-1)
     return TiledLUT(sx=sxt, sy=syt, gain=gt, cidx=camt,
                     tile_cam=tile_cam, tile_org=tile_org, tile_band=tile_band,
-                    n_fallback=ovf.sum().astype(jnp.int32),
+                    fallback=ovf, n_fallback=ovf.sum().astype(jnp.int32),
                     grid_hw=(nty, ntx), pano_hw=(Hp, Wp), frame_hw=(fh, fw))
 
 

@@ -23,7 +23,6 @@ from typing import Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,15 +48,29 @@ class ClassLUT:
 
 @flax.struct.dataclass
 class MatLUT2:
+    """Two-class materialized LUT + per-tile fallback data.
+
+    Fallback tiles (>2 cameras or window overflow) stay in the grid — their
+    kernel output is overwritten post-kernel by an exact XLA bilinear gather
+    over just those tiles (fb_* arrays, bucketed to n_fb), so one awkward
+    tile no longer demotes the whole canvas to the slow path.
+    """
     easy: ClassLUT
     hard: ClassLUT
     n_fallback: jnp.ndarray
+    fb_tid: jnp.ndarray     # [Fb] int32 tile ids (pad entries arbitrary)
+    fb_valid: jnp.ndarray   # [Fb] bool
+    fb_cam: jnp.ndarray     # [Fb, P] int32 (-1 = uncovered)
+    fb_sx: jnp.ndarray      # [Fb, P] f32 source coords
+    fb_sy: jnp.ndarray      # [Fb, P] f32
+    fb_gain: jnp.ndarray    # [Fb, P] f32
     grid_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     pano_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     frame_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     n_tiles: int = flax.struct.field(pytree_node=False)
     tg_easy: int = flax.struct.field(pytree_node=False)
     tg_hard: int = flax.struct.field(pytree_node=False)
+    n_fb: int = flax.struct.field(pytree_node=False)
 
 
 def _per_tile_fields(tlut: TiledLUT):
@@ -79,64 +92,89 @@ def build_mat2_lut(lut, frame_hw: Tuple[int, int]) -> MatLUT2:
     return _materialize2(tlut, frame_hw)
 
 
-def _materialize2(tlut: TiledLUT, frame_hw) -> MatLUT2:
-    """Host-orchestrated two-class build (runs jitted chunks on device)."""
-    fh, _fw = frame_hw
+BUCKET = 64      # easy-class group-count granularity (compile-cache buckets)
+FB_BUCKET = 16   # fallback tile-count granularity
+
+
+def _easy_split(tlut: TiledLUT, cam, is_a, sy):
+    """Per-slot easy-window origins + per-group easy feasibility (device)."""
+    fh, _fw = tlut.frame_hw
     T = tlut.sx.shape[0]
     Tg = -(-T // GROUP)
     Tpad = Tg * GROUP
 
-    cam, is_a, org, band, xl = jax.jit(_per_tile_fields)(tlut)
-    cam = np.asarray(tlut.cidx[:, 0, :])
-    sy = np.asarray(tlut.sy[:, 0, :])
-    is_a_np = np.asarray(is_a)
-    org_np = np.asarray(org)
-    band_np = np.asarray(band)
-    tile_cam = np.asarray(tlut.tile_cam).reshape(T, 2)
-
-    # per-slot easy-window origins + easy feasibility (host numpy; tiny)
     def slot_stats(slot):
-        m = (cam >= 0) & (is_a_np == (slot == 0))
-        lo = np.where(m, sy, np.inf).min(axis=1)
-        lo = np.where(np.isfinite(lo), lo, 0.0)
-        oy_e = np.clip((np.floor(lo).astype(np.int64) - 1)
-                       // ALIGN_Y * ALIGN_Y, 0,
-                       (fh - WIN_HE) // ALIGN_Y * ALIGN_Y)
-        hi = np.where(m, sy, -np.inf).max(axis=1)
-        fits = ~np.isfinite(hi) | (hi <= oy_e + WIN_HE - 1)
-        return oy_e.astype(np.int32), fits
+        m = (cam >= 0) & (is_a == (slot == 0))
+        lo = jnp.min(jnp.where(m, sy, jnp.inf), axis=1)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        oy_e = jnp.clip((jnp.floor(lo).astype(jnp.int32) - 1)
+                        // ALIGN_Y * ALIGN_Y, 0,
+                        (fh - WIN_HE) // ALIGN_Y * ALIGN_Y)
+        hi = jnp.max(jnp.where(m, sy, -jnp.inf), axis=1)
+        fits = ~jnp.isfinite(hi) | (hi <= oy_e.astype(jnp.float32) + WIN_HE - 1)
+        return oy_e.astype(jnp.int32), fits
 
     oy_e0, fit0 = slot_stats(0)
     oy_e1, fit1 = slot_stats(1)
-    tile_easy = fit0 & fit1
-    tile_easy = np.concatenate([tile_easy, np.ones(Tpad - T, bool)])
+    tile_easy = jnp.concatenate([fit0 & fit1,
+                                 jnp.ones(Tpad - T, bool)])
     group_easy = tile_easy.reshape(Tg, GROUP).all(axis=1)
+    return group_easy, oy_e0, oy_e1
+
+
+@jax.jit
+def _class_counts(tlut: TiledLUT):
+    """The only host fetch of the build: (easy group count, fallback count)."""
+    cam, is_a, _org, _band, _xl = _per_tile_fields(tlut)
+    group_easy, _, _ = _easy_split(tlut, cam, is_a, tlut.sy[:, 0, :])
+    return group_easy.sum().astype(jnp.int32), tlut.n_fallback
+
+
+def _materialize2(tlut: TiledLUT, frame_hw=None) -> MatLUT2:
+    """Two-class build, fully device-resident.
+
+    Host involvement is two scalar fetches (class counts) that pick the
+    static shape bucket; all weight materialization, class packing, and
+    fallback extraction run inside one jitted program (kills the ~40 MB of
+    host round-trips of the round-1 build — VERDICT item 2).
+    """
+    del frame_hw  # kept for call-site compatibility; tlut.frame_hw is static
+    n_easy, n_fb = (int(x) for x in _class_counts(tlut))
+    tg_easy = (n_easy // BUCKET) * BUCKET   # bucket DOWN: remainder runs hard
+    n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    return _materialize2_jit(tlut, tg_easy, n_fb_b)
+
+
+@partial(jax.jit, static_argnames=("tg_easy", "n_fb"))
+def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
+    T = tlut.sx.shape[0]
+    Tg = -(-T // GROUP)
+    Tpad = Tg * GROUP
+
+    cam, is_a, org, band, xl = _per_tile_fields(tlut)
+    sy = tlut.sy[:, 0, :]
+    group_easy, oy_e0, oy_e1 = _easy_split(tlut, cam, is_a, sy)
+    # easy groups first; the bucketed remainder of easy groups runs as hard
+    # (hard windows are valid for every non-fallback tile)
+    order = jnp.argsort(~group_easy, stable=True).astype(jnp.int32)
 
     def padT(a, fill=0):
-        return np.concatenate(
-            [a, np.full((Tpad - a.shape[0],) + a.shape[1:], fill, a.dtype)])
+        return jnp.pad(a, ((0, Tpad - T),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
 
-    # per-class per-tile origins (easy uses its own oy)
-    org_pad = padT(org_np)
-    band_pad = padT(band_np)
-    cam_pad = padT(tile_cam)
-    org_easy = org_pad.copy()
-    org_easy[:T, 0] = oy_e0
-    org_easy[:T, 2] = oy_e1
-
-    gids = np.arange(Tg, dtype=np.int32)
-    easy_g = gids[group_easy]
-    hard_g = gids[~group_easy]
-
-    # device weight build (reuse _mat_chunk with per-class window heights)
-    sx_loc = np.asarray(xl)
-    sx_loc = np.concatenate([sx_loc, np.zeros((Tpad - T, P), np.float32)])
-    sy_np = np.concatenate([sy, np.zeros((Tpad - T, P), np.float32)])
-    isa_pad = np.concatenate([is_a_np, np.ones((Tpad - T, P), bool)])
+    org_pad = padT(org)
+    band_pad = padT(band)
+    cam_pad = padT(tlut.tile_cam.reshape(T, 2))
+    org_easy = org_pad.at[:T, 0].set(oy_e0).at[:T, 2].set(oy_e1)
+    sx_loc = padT(xl)
+    sy_pad = padT(sy)
+    isa_pad = padT(is_a, True)
+    gc_all = padT((tlut.gain[:, 0, :] * (cam >= 0)).astype(jnp.float32))
+    sel_all = padT(is_a.astype(jnp.float32), 1.0)
 
     def build_class(group_ids, win_h, orgs):
-        if group_ids.size == 0:
-            TgC = 0
+        TgC = group_ids.shape[0]
+        if TgC == 0:
             return ClassLUT(
                 vx=jnp.zeros((0, GROUP * VXW, P), jnp.int8),
                 vy=jnp.zeros((0, GROUP * win_h, P), jnp.int8),
@@ -146,47 +184,56 @@ def _materialize2(tlut: TiledLUT, frame_hw) -> MatLUT2:
                 tile_band=jnp.zeros((0,), jnp.int32),
                 gid=jnp.zeros((0,), jnp.int32))
         tidx = (group_ids[:, None] * GROUP +
-                np.arange(GROUP)[None, :]).reshape(-1)    # class tile ids
-        oy = np.where(isa_pad[tidx], orgs[tidx, 0:1], orgs[tidx, 2:3])
-        yl = np.clip(sy_np[tidx] - oy, 0.0, win_h - 1.0).astype(np.float32)
-        xlc = sx_loc[tidx].astype(np.float32)
+                jnp.arange(GROUP, dtype=jnp.int32)[None, :]).reshape(-1)
+        oy = jnp.where(isa_pad[tidx], orgs[tidx, 0:1],
+                       orgs[tidx, 2:3]).astype(jnp.float32)
+        yl = jnp.clip(sy_pad[tidx] - oy, 0.0, win_h - 1.0)
+        xlc = sx_loc[tidx]
 
         nC = tidx.shape[0]
         CH = 128
         nCp = -(-nC // CH) * CH
-        xlp = np.concatenate([xlc, np.zeros((nCp - nC, P), np.float32)])
-        ylp = np.concatenate([yl, np.zeros((nCp - nC, P), np.float32)])
+        xlp = jnp.pad(xlc, ((0, nCp - nC), (0, 0)))
+        ylp = jnp.pad(yl, ((0, nCp - nC), (0, 0)))
+        # chunked weight build bounds live int32 temporaries
         vx, vy = jax.lax.map(
             lambda a: _mat_chunk_h(a[0], a[1], win_h),
-            (jnp.asarray(xlp).reshape(-1, CH, P),
-             jnp.asarray(ylp).reshape(-1, CH, P)))
-        TgC = group_ids.size
+            (xlp.reshape(-1, CH, P), ylp.reshape(-1, CH, P)))
         vx = vx.reshape(nCp, VXW, P)[:nC].reshape(TgC, GROUP * VXW, P)
         vy = vy.reshape(nCp, win_h, P)[:nC].reshape(TgC, GROUP * win_h, P)
 
-        covered = (cam >= 0).astype(np.float32)
-        covered = np.concatenate([covered, np.zeros((Tpad - T, P), np.float32)])
-        gain = np.asarray(tlut.gain[:, 0, :])
-        gain = np.concatenate([gain, np.zeros((Tpad - T, P), np.float32)])
-        sel = np.concatenate([is_a_np.astype(np.float32),
-                              np.ones((Tpad - T, P), np.float32)])
-        gc = (gain * covered)[tidx].reshape(TgC, GROUP, P)
-        sl = sel[tidx].reshape(TgC, GROUP, P)
-        gcs = np.concatenate([gc, sl], axis=1)
-
+        gcs = jnp.concatenate([gc_all[tidx].reshape(TgC, GROUP, P),
+                               sel_all[tidx].reshape(TgC, GROUP, P)], axis=1)
         return ClassLUT(
-            vx=vx, vy=vy, gcs=jnp.asarray(gcs.astype(np.float32)),
-            tile_cam=jnp.asarray(cam_pad[tidx].reshape(-1).astype(np.int32)),
-            tile_org=jnp.asarray(orgs[tidx].reshape(-1).astype(np.int32)),
-            tile_band=jnp.asarray(band_pad[tidx].reshape(-1).astype(np.int32)),
-            gid=jnp.asarray(group_ids.astype(np.int32)))
+            vx=vx, vy=vy, gcs=gcs,
+            tile_cam=cam_pad[tidx].reshape(-1).astype(jnp.int32),
+            tile_org=orgs[tidx].reshape(-1).astype(jnp.int32),
+            tile_band=band_pad[tidx].reshape(-1).astype(jnp.int32),
+            gid=group_ids)
 
-    easy = build_class(easy_g, WIN_HE, org_easy)
-    hard = build_class(hard_g, WIN_HH, org_pad)
+    easy = build_class(order[:tg_easy], WIN_HE, org_easy)
+    hard = build_class(order[tg_easy:], WIN_HH, org_pad)
+
+    if n_fb:
+        fb_order = jnp.argsort(~tlut.fallback, stable=True)[:n_fb] \
+            .astype(jnp.int32)
+        fb_valid = tlut.fallback[fb_order]
+        fb_cam = tlut.cidx[fb_order, 0, :]
+        fb_sx = tlut.sx[fb_order, 0, :]
+        fb_sy = tlut.sy[fb_order, 0, :]
+        fb_gain = tlut.gain[fb_order, 0, :]
+    else:
+        fb_order = jnp.zeros((0,), jnp.int32)
+        fb_valid = jnp.zeros((0,), bool)
+        fb_cam = jnp.zeros((0, P), jnp.int32)
+        fb_sx = fb_sy = fb_gain = jnp.zeros((0, P), jnp.float32)
+
     return MatLUT2(easy=easy, hard=hard, n_fallback=tlut.n_fallback,
+                   fb_tid=fb_order, fb_valid=fb_valid, fb_cam=fb_cam,
+                   fb_sx=fb_sx, fb_sy=fb_sy, fb_gain=fb_gain,
                    grid_hw=tlut.grid_hw, pano_hw=tlut.pano_hw,
                    frame_hw=tlut.frame_hw, n_tiles=T,
-                   tg_easy=int(easy_g.size), tg_hard=int(hard_g.size))
+                   tg_easy=tg_easy, tg_hard=Tg - tg_easy, n_fb=n_fb)
 
 
 @partial(jax.jit, static_argnames=("win_h",))
@@ -347,6 +394,38 @@ def _class_call(planar_i8, cl: ClassLUT, win_h: int, Tg_total: int,
     )(*args)
 
 
+def _fallback_values(planar_i8: jnp.ndarray, ml: MatLUT2) -> jnp.ndarray:
+    """Exact bilinear gather for the fallback tiles only: [3, Fb, P] f32.
+
+    Matches the XLA gather reference (video/lut.py composite_frame) bit for
+    bit: frames are int8 (value-128) and the +128 restore commutes with the
+    convex bilinear weights."""
+    N, _, H, W = planar_i8.shape
+    flat = planar_i8.reshape(-1).astype(jnp.float32) + 128.0
+    cam = jnp.maximum(ml.fb_cam, 0)
+    x0f = jnp.floor(ml.fb_sx)
+    y0f = jnp.floor(ml.fb_sy)
+    fx = ml.fb_sx - x0f
+    fy = ml.fb_sy - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+
+    def chan(c):
+        base = cam * (3 * H * W) + c * (H * W)
+
+        def g(yi, xi):
+            return jnp.take(flat, base + yi * W + xi, axis=0)
+
+        return ((1 - fx) * (1 - fy) * g(y0, x0) + fx * (1 - fy) * g(y0, x1)
+                + (1 - fx) * fy * g(y1, x0) + fx * fy * g(y1, x1))
+
+    vals = jnp.stack([chan(c) for c in range(3)])       # [3, Fb, P]
+    vals = vals * ml.fb_gain[None]
+    return jnp.where((ml.fb_cam >= 0)[None], vals, 0.0)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
                           interpret: bool = False) -> jnp.ndarray:
@@ -360,7 +439,16 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw
-    out = out[:, :, :GROUP, :].reshape(3, Tg * GROUP, P)[:, :ml.n_tiles]
+    out = out[:, :, :GROUP, :].reshape(3, Tg * GROUP, P)
+    if ml.n_fb:
+        # overlay the exact-gather values onto the fallback tiles; fb_tid
+        # rows are unique (argsort permutation prefix) so pad entries just
+        # write their current value back — race-free
+        vals = _fallback_values(planar_i8, ml)
+        cur = out[:, ml.fb_tid, :]
+        merged = jnp.where(ml.fb_valid[None, :, None], vals, cur)
+        out = out.at[:, ml.fb_tid, :].set(merged)
+    out = out[:, :ml.n_tiles]
     out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
     pano = out.reshape(3, nty, ntx, TILE_H, TILE_W) \
               .transpose(0, 1, 3, 2, 4) \

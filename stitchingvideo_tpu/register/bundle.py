@@ -78,17 +78,29 @@ def _residual_reproj(params, edge_i, edge_j, pts1, pts2, w):
     return res.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("kind", "iters", "refine_focal", "refine_pp_aspect"))
+@partial(jax.jit, static_argnames=("kind", "iters", "refine_focal",
+                                   "refine_ppx", "refine_ppy", "refine_aspect"))
 def bundle_adjust(focals0: jnp.ndarray, Rs0: jnp.ndarray,
                   edge_i: jnp.ndarray, edge_j: jnp.ndarray,
                   pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray,
                   kind: str = "ray", iters: int = 50,
                   refine_focal: bool = True,
-                  refine_pp_aspect: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """LM bundle adjustment. Returns (focals [N], Rs [N,3,3], final_cost).
+                  refine_ppx: bool = False,
+                  refine_ppy: bool = False,
+                  refine_aspect: bool = False
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LM bundle adjustment.
 
-    pts1/pts2: [E, M, 2] centered keypoint coords for each edge's
+    Returns (focals [N], Rs [N,3,3], pp_aspect [N,3] = (ppx, ppy, aspect),
+    final_cost). pts1/pts2: [E, M, 2] centered keypoint coords for each edge's
     correspondences; w: [E, M] 0/1 inlier weights.
+
+    Refinement flags mirror the reference's 5-char ba_refine_mask gating of
+    Jacobian columns (motion_estimators.cpp:389-438: (0,0)=fx, (0,2)=ppx,
+    (1,2)=ppy, (1,1)=aspect; rotations always refined). The skew flag (0,1)
+    is accepted by the reference CLI but read by NEITHER adjuster — skew is
+    not a parameter of the 7-param Reproj model — so it has no effect here
+    either. The Ray model only honors fx (motion_estimators.cpp:509-513).
     """
     n = focals0.shape[0]
     rvecs0 = matrix_to_rodrigues(Rs0)
@@ -101,8 +113,8 @@ def bundle_adjust(focals0: jnp.ndarray, Rs0: jnp.ndarray,
         ones = jnp.ones((n, 1))
         x0 = jnp.concatenate([focals0[:, None], zeros, zeros, ones, rvecs0], axis=1)
         residual = _residual_reproj
-        free = jnp.array([refine_focal, refine_pp_aspect, refine_pp_aspect,
-                          refine_pp_aspect, True, True, True])
+        free = jnp.array([refine_focal, refine_ppx, refine_ppy,
+                          refine_aspect, True, True, True])
     else:
         raise ValueError(kind)
 
@@ -141,6 +153,11 @@ def bundle_adjust(focals0: jnp.ndarray, Rs0: jnp.ndarray,
                                       None, length=iters)
     xp = x.reshape(shape)
     focals = xp[:, 0]
-    rcol = 1 if kind == "ray" else 4
-    Rs = rodrigues_to_matrix(xp[:, rcol:rcol + 3])
-    return focals, Rs, cost
+    if kind == "ray":
+        Rs = rodrigues_to_matrix(xp[:, 1:4])
+        pp_aspect = jnp.concatenate(
+            [jnp.zeros((n, 2)), jnp.ones((n, 1))], axis=1)
+    else:
+        Rs = rodrigues_to_matrix(xp[:, 4:7])
+        pp_aspect = xp[:, 1:4]            # (ppx, ppy, aspect), centered pp
+    return focals, Rs, pp_aspect, cost

@@ -229,14 +229,24 @@ def estimate_cameras(features: List[dict], pairs: List[PairResult],
         pts1 = np.stack([p.pts1 for p in ba_pairs]).astype(np.float32)
         pts2 = np.stack([p.pts2 for p in ba_pairs]).astype(np.float32)
         w = np.stack([p.inlier_w for p in ba_pairs]).astype(np.float32)
-        refine_focal = rc.ba_refine_mask[0] == "x"
-        focals_j, Rs_j, _cost = bundle_adjust(
+        # 5-char mask parity (CLI parseCmdArgs :259-272 -> refinement_mask_
+        # cells; motion_estimators.cpp:389-438): fx, skew, ppx, aspect, ppy.
+        # Skew is parsed but refines nothing — exactly like the reference,
+        # where neither adjuster reads mask cell (0,1).
+        m = rc.ba_refine_mask
+        if len(m) != 5 or any(c not in "x_" for c in m):
+            raise ValueError(
+                f"ba_refine_mask must be 5 chars of 'x'/'_', got {m!r}")
+        focals_j, Rs_j, ppa_j, _cost = bundle_adjust(
             jnp.asarray(focals), jnp.asarray(Rs),
             jnp.asarray(edge_i), jnp.asarray(edge_j),
             jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(w),
-            kind=rc.ba_kind, iters=rc.ba_iters, refine_focal=refine_focal)
+            kind=rc.ba_kind, iters=rc.ba_iters,
+            refine_focal=m[0] == "x", refine_ppx=m[2] == "x",
+            refine_aspect=m[3] == "x", refine_ppy=m[4] == "x")
         new_focals = np.asarray(focals_j)
         new_Rs = np.asarray(Rs_j)
+        new_ppa = np.asarray(ppa_j)
         # sanity gate: a poisoned edge can make LM diverge (negative or wild
         # focals). Fall back to the homography-based initialization rather
         # than shipping a broken registration (reference retry stance,
@@ -246,6 +256,11 @@ def estimate_cameras(features: List[dict], pairs: List[PairResult],
         if sane:
             focals = new_focals
             Rs = new_Rs
+            pp_off = new_ppa[:, :2]      # centered-coordinate pp offsets
+            aspects = new_ppa[:, 2]
+        else:
+            pp_off = np.zeros((len(keep), 2), np.float32)
+            aspects = np.ones(len(keep), np.float32)
         # gauge fix: normalize to spanning-tree center camera
         weight = {(i, j): float(ni) for (i, j), (_H, ni) in pair_info.items()}
         _tree, center = graph_mod.max_spanning_tree(len(keep), weight)
@@ -255,10 +270,14 @@ def estimate_cameras(features: List[dict], pairs: List[PairResult],
         Rs = wave_correct(Rs, rc.wave_correct)
 
     warped_image_scale = float(np.median(focals))  # CLI :520-529
+    if rc.ba_kind not in ("ray", "reproj") or not ba_pairs:
+        pp_off = np.zeros((len(keep), 2), np.float32)
+        aspects = np.ones(len(keep), np.float32)
     cams = Cameras.create(
         focal=np.asarray(focals, np.float32),
-        ppx=np.array([s[0] * 0.5 for s in sizes], np.float32),
-        ppy=np.array([s[1] * 0.5 for s in sizes], np.float32),
+        ppx=np.array([s[0] * 0.5 for s in sizes], np.float32) + pp_off[:, 0],
+        ppy=np.array([s[1] * 0.5 for s in sizes], np.float32) + pp_off[:, 1],
+        aspect=np.asarray(aspects, np.float32),
         R=np.asarray(Rs, np.float32))
     stats = {(p.src, p.dst): (p.num_matches, p.num_inliers, p.confidence)
              for p in pairs}

@@ -114,9 +114,11 @@ class VideoStitcher:
             cx, cy = jax.vmap(lambda mx, my: compose_maps(mx, my, ux, uy))(
                 reg.xmaps, reg.ymaps)
             reg = reg.replace(xmaps=cx, ymaps=cy)
-        lut = build_lut(reg)
-        lut = self._crop_lut(lut)
-        lut = jax.device_put(lut)
+        from ..utils.timing import GLOBAL_TRACER as _tracer
+        with _tracer.span("lut_build"):
+            lut = build_lut(reg)
+            lut = self._crop_lut(lut)
+            lut = jax.device_put(lut)
         with self._lock:
             if self._out_shape is None:
                 self._out_shape = lut.cam_idx.shape
@@ -124,8 +126,9 @@ class VideoStitcher:
                 lut = self._fit_lut(lut, self._out_shape)
             self._reg = reg
             self._lut = lut
-            self._tlut = self._try_tiled(lut, frame_hw,
-                                         self.cfg.video.kernel)
+            with _tracer.span("pallas_weight_build"):
+                self._tlut = self._try_tiled(lut, frame_hw,
+                                             self.cfg.video.kernel)
             self._last_reg_time = time.monotonic()
             self.registrations += 1
 
@@ -142,16 +145,21 @@ class VideoStitcher:
             from ..ops.pallas.composite import build_tiled_lut
             from ..ops.pallas.composite_mat import _materialize
             tlut = build_tiled_lut(lut, tuple(frame_hw))
-            if int(tlut.n_fallback) != 0:
-                return None
             if kernel in ("auto", "mat2"):
+                # mat2 handles fallback tiles per-tile (exact-gather overlay,
+                # composite_mat2._fallback_values) — no whole-LUT demotion
                 try:
                     from ..ops.pallas.composite_mat2 import _materialize2
                     return ("mat2", jax.device_put(
                         _materialize2(tlut, tuple(frame_hw))))
                 except Exception:
                     if kernel == "mat2":
+                        if int(tlut.n_fallback) != 0:
+                            return None
                         return ("tiled", jax.device_put(tlut))
+            if int(tlut.n_fallback) != 0:
+                # mat/tiled kernels have no per-tile fallback path
+                return None
             if kernel in ("auto", "mat"):
                 try:
                     return ("mat", jax.device_put(_materialize(tlut)))

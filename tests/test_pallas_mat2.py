@@ -34,3 +34,43 @@ def test_mat2_classes_nontrivial(rng):
     assert ml.tg_easy >= 0 and ml.tg_hard >= 0
     out = composite_mat2_planar(frames_to_planar_i8(frames), ml, interpret=True)
     assert out.shape[0] == 3
+
+
+def test_mat2_per_tile_fallback(rng):
+    """A LUT with 3-camera tiles keeps the mat2 fast path: fallback tiles are
+    composited by the exact gather and overlaid — BIT-EXACT vs the gather
+    reference on those tiles, no whole-LUT demotion (VERDICT r1 item 3)."""
+    frames, lut = _make_state(rng)
+    cam = np.array(lut.cam_idx)
+    # poison a few tiles so they span 3 cameras (not representable by the
+    # two-slot kernel): the 8x128 tile keeps its own cam plus two others
+    cam[4:6, 200:210] = 1
+    cam[4:6, 210:220] = 2      # tile (0,1): cams {0,1,2}
+    cam[40:44, 980:990] = 0
+    cam[40:44, 990:1000] = 1   # tile (5,7): cams {0,1,2}
+    import jax.numpy as _jnp
+    from stitchingvideo_tpu.video.lut import CompositeLUT
+    lut = CompositeLUT(cam_idx=_jnp.asarray(cam), src_x=lut.src_x,
+                       src_y=lut.src_y, gain=lut.gain)
+
+    ref = np.asarray(composite_frame_u8(frames, lut)).astype(np.int32)
+    ml = build_mat2_lut(lut, (128, 512))
+    assert int(ml.n_fallback) > 0
+    assert ml.n_fb >= int(ml.n_fallback)
+    out = composite_mat2_planar(frames_to_planar_i8(frames), ml,
+                                interpret=True)
+    hwc = np.asarray(out).transpose(1, 2, 0).astype(np.int32)
+
+    # fallback tiles: bit-exact vs the gather reference
+    from stitchingvideo_tpu.ops.pallas.composite import TILE_H, TILE_W
+    fb_tid = np.asarray(ml.fb_tid)[np.asarray(ml.fb_valid)]
+    ntx = ml.grid_hw[1]
+    for t in fb_tid:
+        ty, tx = divmod(int(t), ntx)
+        ys = slice(ty * TILE_H, min((ty + 1) * TILE_H, ref.shape[0]))
+        xs = slice(tx * TILE_W, min((tx + 1) * TILE_W, ref.shape[1]))
+        np.testing.assert_array_equal(hwc[ys, xs], ref[ys, xs])
+    # non-fallback tiles keep the usual quantization tolerance
+    diff = np.abs(hwc - ref)
+    assert np.median(diff) <= 1
+    assert (diff <= 4).mean() > 0.999

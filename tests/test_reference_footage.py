@@ -42,3 +42,66 @@ def test_reference_rig_registration():
     circ = np.diff(yaws + [yaws[0] + 2 * np.pi])   # 6 circular gaps
     assert np.isclose(circ.sum(), 2 * np.pi, atol=1e-6)
     assert np.all(circ > 0.5) and np.all(circ < 1.6), yaws
+
+
+def test_composite_vs_reference_golden():
+    """Full-pipeline composite vs the reference's shipped panorama
+    (Release/mystitching.jpg, 8837x1226, produced by the RT driver on the
+    same six frames). Registrations differ (SURF then vs our ORB-class
+    features), so the gate is content-level: circular-x NCC (the panorama's
+    yaw origin is arbitrary) over a vertical scale/shift sweep, on raw
+    luminance and on local-contrast (structure)."""
+    import dataclasses
+
+    import cv2
+    import imageio.v3 as iio
+
+    from stitchingvideo_tpu.config import StitchConfig
+    from stitchingvideo_tpu.models.stitcher import Stitcher
+
+    imgs = [np.asarray(iio.imread(f"{REF_DIR}/img-{i}.jpg"))[..., :3]
+            for i in range(6)]
+    golden = np.asarray(iio.imread(
+        os.path.join(os.path.dirname(REF_DIR), "mystitching.jpg")))[..., :3]
+
+    cfg = StitchConfig()
+    cfg = cfg.replace(scales=dataclasses.replace(cfg.scales,
+                                                 compose_megapix=0.6))
+    pano, _mask = Stitcher(cfg).stitch(imgs)
+
+    W, H = 1024, 128
+
+    def prep(img, ys=1.0):
+        g = cv2.resize(img.mean(-1).astype(np.float32), (W, int(round(H * ys))))
+        hh = g.shape[0]
+        if hh >= H:
+            o = (hh - H) // 2
+            return g[o:o + H]
+        o = (H - hh) // 2
+        z = np.zeros((H, W), np.float32)
+        z[o:o + hh] = g
+        return z
+
+    def norm(x):
+        x = x - x.mean()
+        return x / max(np.sqrt((x * x).mean()), 1e-9)
+
+    def best_ncc(a_full, b_full, highpass):
+        best = -1.0
+        for ys in (0.85, 0.9, 0.95, 1.0, 1.05):
+            a, b = prep(a_full), prep(b_full, ys)
+            if highpass:
+                a = a - cv2.blur(a, (31, 31))
+                b = b - cv2.blur(b, (31, 31))
+            a, b = norm(a), norm(b)
+            fb = np.conj(np.fft.rfft(b, axis=1))
+            for dy in range(-12, 13, 2):
+                fa = np.fft.rfft(np.roll(a, dy, 0), axis=1)
+                corr = np.fft.irfft(fa * fb, n=W, axis=1).sum(0) / (H * W)
+                best = max(best, float(corr.max()))
+        return best
+
+    raw = best_ncc(golden, pano, highpass=False)
+    structure = best_ncc(golden, pano, highpass=True)
+    assert raw >= 0.75, f"raw NCC vs mystitching.jpg {raw:.3f} < 0.75"
+    assert structure >= 0.3, f"structure NCC {structure:.3f} < 0.3"

@@ -69,9 +69,30 @@ def test_stitch_exposure_compensation():
         roughness(pano_no.astype(np.float32), mask)
 
 
+def _ncc_max(a: np.ndarray, b: np.ndarray, max_shift: int = 6) -> float:
+    """Max normalized cross-correlation of two grayscale images over small
+    2-D shifts (registrations differ slightly, so allow a few px of slack)."""
+    def norm(x):
+        x = x - x.mean()
+        return x / max(np.sqrt((x * x).mean()), 1e-9)
+    a = norm(a.astype(np.float64))
+    b = norm(b.astype(np.float64))
+    best = -1.0
+    h, w = a.shape
+    c = max_shift
+    ac = a[c:h - c, c:w - c]
+    ac = (ac - ac.mean()) / max(ac.std(), 1e-9)
+    for dy in range(-c, c + 1):
+        for dx in range(-c, c + 1):
+            bc = b[c + dy:h - c + dy, c + dx:w - c + dx]
+            bc = (bc - bc.mean()) / max(bc.std(), 1e-9)
+            best = max(best, float((ac * bc).mean()))
+    return best
+
+
 def test_stitch_vs_cv2_stitcher():
-    """Our panorama vs cv2.Stitcher panorama on the same views: high overlap
-    coverage and comparable content (correlation on the common region)."""
+    """Our panorama vs cv2.Stitcher panorama on the same views: same output
+    class AND matching content (NCC of the coarse panoramas >= 0.8)."""
     views, K, Rs, f, tex = synthetic.make_scene(
         n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.45, seed=5)
     cv_st = cv2.Stitcher_create(cv2.Stitcher_PANORAMA)
@@ -81,9 +102,15 @@ def test_stitch_vs_cv2_stitcher():
     cfg = _cfg(warp_type="spherical", blend_type="multiband", seam_find="gc_color",
                expos_comp="gain_blocks")
     pano, mask = Stitcher(cfg).stitch(views)
-    # compare dimensions coarsely: same panorama class output
+    # same panorama class output
     assert abs(pano.shape[0] - cv_pano.shape[0]) / cv_pano.shape[0] < 0.25
     assert abs(pano.shape[1] - cv_pano.shape[1]) / cv_pano.shape[1] < 0.25
+    # content assertion: coarse grayscale panoramas correlate strongly
+    size = (256, 64)
+    g_cv = cv2.resize(cv_pano.mean(-1).astype(np.float32), size)
+    g_us = cv2.resize(pano.mean(-1).astype(np.float32), size)
+    ncc = _ncc_max(g_cv, g_us)
+    assert ncc >= 0.8, f"panorama content NCC {ncc:.3f} < 0.8"
 
 
 def test_registration_state_roundtrip(tmp_path):

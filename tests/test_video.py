@@ -48,6 +48,11 @@ def test_lut_composite_matches_still_compose(scene):
 def test_video_stitcher_stream(scene):
     views, *_ = scene
     cfg = _cfg()
+    # pin a long re-registration period: on a loaded CI machine 5 frames can
+    # take >30 s (compiles), which would fire the timer and flake the
+    # registrations==1 assertion
+    cfg = cfg.replace(video=dataclasses.replace(cfg.video,
+                                                reregister_seconds=3600.0))
     vs = VideoStitcher(cfg)
     src = ReplaySource(views, jitter=2, max_frames=5)
     outs = []
