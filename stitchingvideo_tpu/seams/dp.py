@@ -12,14 +12,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def _sobel_x(gray: np.ndarray) -> np.ndarray:
+    """3x3 Sobel d/dx with replicate borders (cv2.Sobel default kernel)."""
+    p = np.pad(gray, 1, mode="edge")
+    return ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))
+
+
 def _pair_costs(i1: np.ndarray, i2: np.ndarray, cost_type: str) -> np.ndarray:
-    diff = np.sqrt(((i1.astype(np.float32) - i2.astype(np.float32)) ** 2).sum(-1))
+    """Cost of cutting the x→x+1 edge at (y, x), reference computeCosts
+    semantics (seam_finders.cpp:703-760): squared-L2 color diff of the two
+    CROSS-adjacent pixels, for COLOR_GRAD divided by the summed |Sobel-x|
+    magnitudes at both edge endpoints in both images, + 1.
+
+    The caller transposes the inputs for wide-short overlaps, so the
+    x-adjacent/Sobel-x convention here covers both seam orientations (the
+    reference's costH uses grady, which IS Sobel-x of the transpose)."""
+    a = i1.astype(np.float32)
+    b = i2.astype(np.float32)
+
+    def d2(u, v):
+        return ((u - v) ** 2).sum(-1)
+
+    cost = np.full(a.shape[:2], 0.0, np.float32)
+    # edge (y,x)-(y,x+1): (diff(a[y,x], b[y,x+1]) + diff(a[y,x+1], b[y,x]))/2
+    cc = 0.5 * (d2(a[:, :-1], b[:, 1:]) + d2(a[:, 1:], b[:, :-1]))
     if cost_type == "colorgrad":
-        def grad(img):
-            gy, gx = np.gradient(img.mean(-1))
-            return np.abs(gx) + np.abs(gy)
-        diff = diff / (grad(i1) + grad(i2) + 1.0)
-    return diff
+        def lum(img):
+            return img @ np.array([0.299, 0.587, 0.114], np.float32)
+        gx1 = np.abs(_sobel_x(lum(a)))
+        gx2 = np.abs(_sobel_x(lum(b)))
+        cc = cc / (gx1[:, :-1] + gx1[:, 1:] + gx2[:, :-1] + gx2[:, 1:] + 1.0)
+    cost[:, :-1] = cc
+    cost[:, -1] = cost[:, -2] if cost.shape[1] > 1 else 0.0
+    return cost
 
 
 def _dp_seam(cost: np.ndarray) -> np.ndarray:
@@ -51,16 +77,21 @@ def _resolve_pair(img1, img2, m1, m2, cost_type):
     y0, y1 = int(ys.min()), int(ys.max()) + 1
     x0, x1 = int(xs.min()), int(xs.max()) + 1
     ov = overlap[y0:y1, x0:x1]
-    c = _pair_costs(img1[y0:y1, x0:x1], img2[y0:y1, x0:x1], cost_type)
-    c = np.where(ov, c, 1e6)
-
     h, w = ov.shape
     transpose = w > h  # run the DP along the longer axis
+    r1 = img1[y0:y1, x0:x1]
+    r2 = img2[y0:y1, x0:x1]
     if transpose:
-        c = c.T
+        # wide-short overlap (stacked cameras): sweep along x; cost semantics
+        # follow the reference's costH (grady normalization = Sobel-x of the
+        # transpose)
+        r1 = np.transpose(r1, (1, 0, 2))
+        r2 = np.transpose(r2, (1, 0, 2))
         ov_t = ov.T
     else:
         ov_t = ov
+    c = _pair_costs(r1, r2, cost_type)
+    c = np.where(ov_t, c, np.float32(3 * 255.0 ** 2))  # badRegionCost^2 analog
     seam = _dp_seam(c)
 
     # decide sides: image 1 keeps the side nearer its unique region

@@ -162,6 +162,21 @@ def spawn_replay_producer(name: str, image_path: str, fps: float = 30.0,
     return subprocess.Popen([sys.executable, "-c", code], env=producer_env())
 
 
+def spawn_video_producer(name: str, uri: str, fps: float = 0.0,
+                         loop: bool = False,
+                         frames: int = 0) -> subprocess.Popen:
+    """Launch a real video-decode producer process: cv2.VideoCapture (FFmpeg)
+    decoding `uri` (file or rtsp:// URL) into the shm ring `name` — the
+    reference's `WinExec(GetFromRtsp.exe <rtsp-url> <shm-names...>)` spawn
+    (64-bit driver :785-793) as a Python -m subprocess."""
+    argv = [sys.executable, "-m", "stitchingvideo_tpu.video.producer",
+            uri, name, "--fps", str(fps), "--frames", str(frames)]
+    if loop:
+        argv.append("--loop")
+    return subprocess.Popen(argv, env=producer_env(),
+                            cwd=str(Path(__file__).resolve().parents[2]))
+
+
 class SyntheticSource(FrameSource):
     """Deterministic random frames at a fixed size (benchmark input)."""
 

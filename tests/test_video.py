@@ -277,6 +277,68 @@ def test_shm_producer_pipeline(tmp_path):
                 pass
 
 
+def test_video_decode_producer_pipeline(scene, tmp_path):
+    """Full ingest→composite chain with REAL video decode: N producer
+    processes (cv2.VideoCapture decoding .avi files — the GetFromRtsp.exe
+    contract) → ShmRing → SharedMemorySource → VideoStitcher.run."""
+    import cv2
+    from stitchingvideo_tpu.video.sharemem import ShmRing
+    from stitchingvideo_tpu.video.sources import (SharedMemorySource,
+                                                  spawn_video_producer)
+    views, *_ = scene
+    rng = np.random.default_rng(3)
+    names, procs = [], []
+    try:
+        for c, v in enumerate(views):
+            path = str(tmp_path / f"cam{c}.avi")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 20.0,
+                                (v.shape[1], v.shape[0]))
+            assert w.isOpened()
+            for _ in range(40):
+                jit = np.clip(v.astype(np.int16) +
+                              rng.integers(-2, 3, v.shape), 0,
+                              255).astype(np.uint8)
+                w.write(cv2.cvtColor(jit, cv2.COLOR_RGB2BGR))
+            w.release()
+            name = f"/svt_vdec_{int(time.time() * 1e6) % 10**9}_{c}"
+            names.append(name)
+            procs.append(spawn_video_producer(name, path, fps=20.0,
+                                              loop=True))
+        deadline = time.time() + 120
+        src = None
+        while time.time() < deadline:
+            try:
+                src = SharedMemorySource(names, timeout_s=10.0)
+                break
+            except OSError:
+                time.sleep(0.2)
+        assert src is not None, "video producers never came up"
+
+        cfg = _cfg()
+        cfg = cfg.replace(video=dataclasses.replace(
+            cfg.video, reregister_seconds=3600.0))
+        vs = VideoStitcher(cfg)
+        outs = []
+        stats = vs.run(src, on_frame=lambda p, i: outs.append(p),
+                       max_frames=3)
+        assert stats.frames == 3
+        # panorama carries real (decoded) content, consistent across frames
+        assert outs[0].std() > 5
+        assert outs[0].shape == outs[-1].shape
+        d = np.abs(outs[0].astype(np.int16) - outs[-1].astype(np.int16))
+        assert np.median(d) <= 8  # same scene modulo jitter + MJPG loss
+        src.close()
+    finally:
+        for p in procs:
+            p.terminate()
+            p.wait()
+        for n in names:
+            try:
+                ShmRing.open(n).close(unlink=True)
+            except OSError:
+                pass
+
+
 def test_video_kernel_pinning(scene):
     """cfg.video.kernel pins the composite path."""
     import dataclasses as dc
