@@ -106,6 +106,9 @@ def cmd_video(args) -> int:
     cfg = _build_cfg(args)
     cfg = cfg.replace(video=dataclasses.replace(
         cfg.video, reregister_seconds=args.reregister_seconds))
+    if getattr(args, "canvas_shards", 1) > 1:
+        cfg = cfg.replace(parallel=dataclasses.replace(
+            cfg.parallel, canvas_shards=args.canvas_shards))
     if args.mode == "replay":
         src = ReplaySource(_load_images(args.inputs), jitter=2)
     elif args.mode == "dirs":
@@ -151,6 +154,10 @@ def main(argv=None) -> int:
                     default="replay")
     pv.add_argument("--frames", type=int, default=100)
     pv.add_argument("--reregister_seconds", type=float, default=30.0)
+    pv.add_argument("--canvas_shards", type=int, default=1,
+                    help="shard the panorama in row bands over this many "
+                         "chips (jax.sharding mesh; hot loop stays "
+                         "collective-free)")
     _add_common(pv)
     pv.set_defaults(func=cmd_video)
 

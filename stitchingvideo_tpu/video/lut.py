@@ -74,6 +74,29 @@ def build_lut(reg: Registration) -> CompositeLUT:
                   reg.seam_masks, reg.gain_maps, reg.canvas_wh, reg.roi_hw)
 
 
+def pad_lut_rows_for_shards(lut: CompositeLUT, n_shards: int,
+                            tile_h: int = 8, tile_w: int = 128,
+                            group: int = 8) -> CompositeLUT:
+    """Pad the panorama with uncovered rows so the tiled kernel's row-major
+    tile groups split into n_shards equal row bands of whole groups:
+    nty % n_shards == 0 and (nty / n_shards) * ntx % group == 0. Pad rows are
+    cam_idx=-1 (gc=0 in the kernel -> black), cropped off after compose."""
+    H, W = lut.cam_idx.shape
+    ntx = -(-W // tile_w)
+    k = -(-(-(-H // tile_h)) // n_shards)     # ceil(nty0 / n_shards)
+    while (k * ntx) % group != 0:
+        k += 1
+    Hp = k * n_shards * tile_h
+    if Hp == H:
+        return lut
+    pad = ((0, Hp - H), (0, 0))
+    return CompositeLUT(
+        cam_idx=jnp.pad(lut.cam_idx, pad, constant_values=-1),
+        src_x=jnp.pad(lut.src_x, pad),
+        src_y=jnp.pad(lut.src_y, pad),
+        gain=jnp.pad(lut.gain, pad, constant_values=1.0))
+
+
 @jax.jit
 def composite_frame(frames: jnp.ndarray, lut: CompositeLUT) -> jnp.ndarray:
     """The per-frame hot loop: bilinear gather through the composite LUT.

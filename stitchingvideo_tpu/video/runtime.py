@@ -78,6 +78,15 @@ class VideoStitcher:
                                                  compose_megapix=-1.0))
         self.cfg = cfg
         self.stitcher = Stitcher(self.cfg)
+        self._mesh = None
+        if cfg.parallel.canvas_shards > 1:
+            # product multi-chip mode (SURVEY §2.3/§5.8): the panorama is
+            # sharded in row bands over the 'canvas' mesh axis; the hot loop
+            # runs the materialized Pallas kernel per band with ZERO
+            # collectives (every output pixel is an independent gather)
+            from ..parallel.mesh import make_mesh
+            self._mesh = make_mesh(canvas=cfg.parallel.canvas_shards,
+                                   camera=cfg.parallel.camera_shards)
         self._lock = threading.Lock()
         self._lut: Optional[CompositeLUT] = None
         self._tlut = None                  # Pallas tiled LUT (fast path)
@@ -119,28 +128,67 @@ class VideoStitcher:
             lut = build_lut(reg)
             lut = self._crop_lut(lut)
             lut = jax.device_put(lut)
+        self.install_lut(lut, frame_hw, reg=reg)
+
+    def install_lut(self, lut: CompositeLUT, frame_hw,
+                    reg: Optional[Registration] = None) -> None:
+        """Atomically swap in a composite LUT (the double-buffered UpdateMat
+        step, 64-bit driver :696-722). Called by register(); also the entry
+        point for loaded/checkpointed registration state and the multichip
+        dryrun — it exercises the same kernel build + swap a registration
+        does."""
+        from ..utils.timing import GLOBAL_TRACER as _tracer
         with self._lock:
             if self._out_shape is None:
                 self._out_shape = lut.cam_idx.shape
             else:
                 lut = self._fit_lut(lut, self._out_shape)
-            self._reg = reg
+            if reg is not None:
+                self._reg = reg
             self._lut = lut
             with _tracer.span("pallas_weight_build"):
                 self._tlut = self._try_tiled(lut, frame_hw,
-                                             self.cfg.video.kernel)
+                                             self.cfg.video.kernel,
+                                             self._mesh)
             self._last_reg_time = time.monotonic()
             self.registrations += 1
 
     @staticmethod
-    def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto"):
+    def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto",
+                   mesh=None):
         """Build the Pallas fast-path state; None if not representable.
 
         Kernel preference (cfg.video.kernel): 'auto' = mat2 > mat > tiled >
         gather; or pinned. 'mat2' is the fastest hot loop, 'mat' builds its
-        weights ~3x faster per re-registration."""
+        weights ~3x faster per re-registration. With a mesh (multi-chip mode)
+        the 'mat' kernel runs shard_map'd over canvas row bands."""
         if kernel == "gather":
             return None
+        if mesh is not None:
+            try:
+                from ..ops.pallas.composite_mat import _materialize
+                from ..ops.pallas.composite import build_tiled_lut
+                from ..parallel.compose_mat import (shard_mat_lut,
+                                                    sharded_composite_mat_fn)
+                from .lut import pad_lut_rows_for_shards
+                ndev = mesh.shape["canvas"]
+                Hp = lut.cam_idx.shape[0]
+                lut_p = pad_lut_rows_for_shards(lut, ndev)
+                tlut = build_tiled_lut(lut_p, tuple(frame_hw))
+                if int(tlut.n_fallback) != 0:
+                    # the sharded kernel has no per-tile fallback overlay;
+                    # >2-camera tiles would compose wrong — demote loudly
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "multichip compose demoted to single-device: %d "
+                        "fallback tiles", int(tlut.n_fallback))
+                else:
+                    ml = _materialize(tlut)
+                    interp = jax.default_backend() != "tpu"
+                    fn = sharded_composite_mat_fn(mesh, ml, interpret=interp)
+                    return ("mat_sharded", (shard_mat_lut(ml, mesh), fn, Hp))
+            except Exception:
+                pass
         try:
             from ..ops.pallas.composite import build_tiled_lut
             from ..ops.pallas.composite_mat import _materialize
@@ -272,6 +320,11 @@ class VideoStitcher:
         if lut is None:
             raise RuntimeError("not registered yet")
         interpret = jax.default_backend() != "tpu"
+        if tlut is not None and tlut[0] == "mat_sharded":
+            from ..ops.pallas.composite_mat import frames_to_planar_i8
+            sharded, fn, Hp = tlut[1]
+            out = fn(frames_to_planar_i8(batch), sharded)
+            return out[:, :Hp]   # drop shard-alignment pad rows
         if tlut is not None and tlut[0] == "mat2":
             from ..ops.pallas.composite_mat import frames_to_planar_i8
             from ..ops.pallas.composite_mat2 import composite_mat2_planar

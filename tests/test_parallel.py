@@ -84,3 +84,39 @@ def test_sharded_mat_composite_matches_single(mesh8, rng):
     got = np.asarray(out)[:, :ref.shape[1], :ref.shape[2]]
     np.testing.assert_array_equal(got, ref)
     assert len(out.sharding.device_set) == 8
+
+
+def test_videostitcher_multichip_product_path(rng):
+    """The PRODUCT multi-chip mode (VERDICT item 4): VideoStitcher with
+    cfg.parallel.canvas_shards=8 builds the mesh, row-band-shards the
+    materialized kernel, and composites identically to single-device —
+    through the same composite() a user calls."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses
+    from stitchingvideo_tpu.config import StitchConfig
+    from stitchingvideo_tpu.video.runtime import VideoStitcher
+    from tests.test_pallas_composite import _make_state
+
+    frames, lut = _make_state(rng)
+    frames_np = np.asarray(frames)
+    fh, fw = frames_np.shape[1:3]
+
+    cfg = StitchConfig()
+    cfg_sh = cfg.replace(parallel=dataclasses.replace(
+        cfg.parallel, canvas_shards=8))
+    vs = VideoStitcher(cfg_sh)
+    assert vs._mesh is not None
+    vs.install_lut(jax.device_put(lut), (fh, fw))
+    assert vs._tlut is not None and vs._tlut[0] == "mat_sharded", \
+        (vs._tlut[0] if vs._tlut else None)
+    pano_sh = vs.composite(list(frames_np))
+
+    vs1 = VideoStitcher(cfg)   # single-device reference
+    vs1.install_lut(jax.device_put(lut), (fh, fw))
+    pano_1 = vs1.composite(list(frames_np))
+    assert pano_sh.shape == pano_1.shape
+    # both are quantized Pallas paths (mat vs mat2 share weight quantization)
+    d = np.abs(pano_sh.astype(np.int16) - pano_1.astype(np.int16))
+    assert np.median(d) == 0 and (d <= 2).mean() > 0.999, \
+        (np.median(d), float((d <= 2).mean()))
