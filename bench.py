@@ -187,6 +187,34 @@ def main():
         "n_cams": int(frames_np.shape[0]),
         "frames_source": source,
     })
+
+    # feather-blended hot-loop mode (beyond-reference quality at video rate)
+    if reg_state is not None:
+        try:
+            n, fh, fw = frames_np.shape[:3]
+            if vs.build_feather_state((fh, fw)):
+                from stitchingvideo_tpu.ops.pallas.composite_feather import \
+                    composite_feather_planar as _fthr
+                fml = vs._ftlut[1]
+                result["feather_fallback_tiles"] = int(fml.n_fallback)
+
+                @jax.jit
+                def step_f(fb, s):
+                    outs = jax.lax.map(lambda f: _fthr(f, s), fb)
+                    return outs[:, :, 301, ::401].astype(jnp.int32) \
+                        .sum(axis=(1, 2))
+
+                for b in batches:
+                    np.asarray(step_f(b, fml))
+                t0 = time.perf_counter()
+                sums = [tuple(np.asarray(step_f(batches[i % 4], fml)))
+                        for i in range(4)]
+                dtf = (time.perf_counter() - t0) / (4 * B)
+                flatf = [v for t in sums for v in t]
+                assert len(set(flatf)) > len(flatf) // 2
+                result["feather_fps"] = round(1.0 / dtf, 2)
+        except Exception as e:
+            result["feather_error"] = repr(e)[:200]
     print(json.dumps(result))
 
 

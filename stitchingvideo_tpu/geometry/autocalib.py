@@ -62,3 +62,56 @@ def estimate_focal(img_sizes: List[Tuple[int, int]],
     if all_focals:
         return float(np.median(all_focals))
     return float(np.mean([w + h for (w, h) in img_sizes]))
+
+
+def calibrate_rotating_camera(Hs: List[np.ndarray]) -> Optional[np.ndarray]:
+    """Full K (upper-triangular, K[2,2]=1) of a rotating camera from inter-
+    frame homographies H_k ~ K R_k K^-1.
+
+    Parity target: calibrateRotatingCamera (reference src/autocalib.cpp:
+    146-195): each H is det-normalized, the symmetric W = K K^T satisfies
+    H W H^T = W, giving 6 linear equations per homography in W's 6 unique
+    entries; the least-squares null vector (SVD) is normalized to W22=1 and
+    Cholesky-factored into K. Returns None when W is not positive definite
+    (degenerate motion, e.g. all rotations about one axis).
+    """
+    m = len(Hs)
+    if m < 1:
+        return None
+    idx_map = ((0, 1, 2), (1, 3, 4), (2, 4, 5))
+    A = np.zeros((6 * m, 6), np.float64)
+    eq = 0
+    for H in Hs:
+        H = np.asarray(H, np.float64)
+        det = np.linalg.det(H)
+        if det == 0:
+            return None
+        H = H / np.cbrt(det)
+        for i in range(3):
+            for j in range(i, 3):
+                for l in range(3):
+                    for s in range(3):
+                        A[eq, idx_map[l][s]] += H[i, l] * H[j, s]
+                A[eq, idx_map[i][j]] -= 1.0
+                eq += 1
+    _, _, Vt = np.linalg.svd(A)
+    w = Vt[-1]
+    if w[5] == 0:
+        return None
+    w = w / w[5]
+    W = np.array([[w[0], w[1], w[2]],
+                  [w[1], w[3], w[4]],
+                  [w[2], w[4], w[5]]], np.float64)
+    # W = K K^T with K upper triangular <=> reversed-order Cholesky: flip W,
+    # lower-Cholesky, flip back (a plain lower Cholesky yields a LOWER-
+    # triangular factor, i.e. a non-physical K — the reference's in-place
+    # variant has the same pitfall and returns a wrong K for generic pp)
+    J = np.eye(3)[::-1]
+    try:
+        L = np.linalg.cholesky(J @ W @ J)
+    except np.linalg.LinAlgError:
+        return None
+    K = J @ L @ J   # upper triangular, K K^T = W
+    if K[2, 2] <= 0:
+        return None
+    return K / K[2, 2]

@@ -90,6 +90,7 @@ class VideoStitcher:
         self._lock = threading.Lock()
         self._lut: Optional[CompositeLUT] = None
         self._tlut = None                  # Pallas tiled LUT (fast path)
+        self._ftlut = None                 # feather hot-loop state
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
         self._und_maps = None              # (xmap, ymap) full-res undistort
@@ -152,6 +153,44 @@ class VideoStitcher:
                                              self._mesh)
             self._last_reg_time = time.monotonic()
             self.registrations += 1
+        if self.cfg.video.compose_mode == "feather" and reg is not None:
+            # feather is a hot-loop mode: build its dual-slot kernel state
+            # eagerly so the first frame is already fast
+            self.build_feather_state(frame_hw)
+
+    def build_feather_state(self, frame_hw) -> bool:
+        """Build + swap the feather hot-loop kernel from the last
+        registration. Returns True when the Pallas feather path is live
+        (falls back to the full-blend XLA path otherwise)."""
+        from ..utils.timing import GLOBAL_TRACER as _tracer
+        with self._lock:
+            reg = self._reg
+            out_shape = self._out_shape
+        if reg is None:
+            return False
+        with _tracer.span("feather_lut_build"):
+            try:
+                from ..ops.pallas.composite_feather import (build_blend_lut,
+                                                            build_feather_mat)
+                blut = build_blend_lut(reg,
+                                       self.cfg.compose.feather_sharpness)
+                y0, y1, x0, x1 = self._crop_slices(blut.shape)
+                blut = blut.crop(y0, y1, x0, x1)
+                if out_shape is not None and blut.shape != tuple(out_shape):
+                    blut = self._fit_blend(blut, out_shape)
+            except Exception:
+                with self._lock:
+                    self._ftlut = None   # composite() uses the full XLA blend
+                return False
+            try:
+                state = ("fmat",
+                         jax.device_put(build_feather_mat(blut,
+                                                          tuple(frame_hw))))
+            except Exception:
+                state = ("fgather", jax.device_put(blut))
+            with self._lock:
+                self._ftlut = state
+        return state[0] == "fmat"
 
     @staticmethod
     def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto",
@@ -217,20 +256,43 @@ class VideoStitcher:
         except Exception:
             return None
 
-    def _crop_lut(self, lut: CompositeLUT) -> CompositeLUT:
+    def _crop_slices(self, shape):
         """Reference crop margins (64-bit driver :47): 10% top/bottom, 10 px
-        left/right."""
+        left/right. Returns (y0, y1, x0, x1)."""
         v = self.cfg.video
-        H, W = lut.cam_idx.shape
+        H, W = shape
         y0 = int(H * v.crop_top_frac)
         y1 = H - int(H * v.crop_bottom_frac)
         x0 = v.crop_left_px
         x1 = W - v.crop_right_px
         if y1 <= y0 or x1 <= x0:
-            return lut
+            return 0, H, 0, W
+        return y0, y1, x0, x1
+
+    def _crop_lut(self, lut: CompositeLUT) -> CompositeLUT:
+        y0, y1, x0, x1 = self._crop_slices(lut.cam_idx.shape)
         sl = (slice(y0, y1), slice(x0, x1))
         return CompositeLUT(cam_idx=lut.cam_idx[sl], src_x=lut.src_x[sl],
                             src_y=lut.src_y[sl], gain=lut.gain[sl])
+
+    @staticmethod
+    def _fit_blend(blut, shape):
+        """Pad/crop a blend LUT to the frozen output shape."""
+        H, W = shape
+        h, w = blut.shape
+
+        def fit(a, fill):
+            out = jnp.full((H, W), fill, a.dtype)
+            return out.at[:min(h, H), :min(w, W)].set(
+                a[:min(h, H), :min(w, W)])
+
+        import dataclasses as _dc
+        return _dc.replace(
+            blut,
+            cam_a=fit(blut.cam_a, -1), sx_a=fit(blut.sx_a, 0.0),
+            sy_a=fit(blut.sy_a, 0.0), gw_a=fit(blut.gw_a, 0.0),
+            cam_b=fit(blut.cam_b, -1), sx_b=fit(blut.sx_b, 0.0),
+            sy_b=fit(blut.sy_b, 0.0), gw_b=fit(blut.gw_b, 0.0))
 
     @staticmethod
     def _fit_lut(lut: CompositeLUT, shape) -> CompositeLUT:
@@ -262,7 +324,39 @@ class VideoStitcher:
         if mode == "lut":
             return np.asarray(
                 self.composite_device(jnp.asarray(np.stack(frames))))
+        if mode == "feather":
+            with self._lock:
+                ftlut = self._ftlut
+            if ftlut is not None:
+                from ..ops.pallas.composite_mat import planar_to_hwc
+                out = self.composite_feather_planar(
+                    jnp.asarray(np.stack(frames)))
+                return np.asarray(planar_to_hwc(out))
         return self._composite_blend(frames, mode)
+
+    def composite_feather_planar(self, batch: jnp.ndarray) -> jnp.ndarray:
+        """Feather-blended hot path, [3, Hp, Wp] uint8 planar.
+
+        Uses the dual-slot Pallas kernel when built ('fmat'); exact XLA
+        dual-gather otherwise ('fgather')."""
+        with self._lock:
+            ftlut = self._ftlut
+        if ftlut is None:
+            raise RuntimeError("feather state not built "
+                               "(register with compose_mode='feather' or "
+                               "call build_feather_state)")
+        kind, state = ftlut
+        if kind == "fmat":
+            from ..ops.pallas.composite_feather import \
+                composite_feather_planar as fthr
+            from ..ops.pallas.composite_mat import frames_to_planar_i8
+            interpret = jax.default_backend() != "tpu"
+            return fthr(frames_to_planar_i8(batch), state,
+                        interpret=interpret)
+        from ..ops.pallas.composite_feather import composite_blend_gather
+        out = composite_blend_gather(batch, state)
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+        return jnp.transpose(out, (2, 0, 1))
 
     def _composite_blend(self, frames: List[np.ndarray], mode: str) -> np.ndarray:
         from ..models.stitcher import _blend_on_canvas, _remap_gain_batch

@@ -30,6 +30,29 @@ def test_focals_from_homography_golden():
     assert f1 == pytest.approx(f2t, rel=0.02)
 
 
+def test_calibrate_rotating_camera_recovers_K():
+    """Full-K autocalibration from rotation homographies
+    (autocalib.cpp:146-195 parity surface). Gated against synthetic ground
+    truth — cv2.detail.calibrateRotatingCamera itself returns a wrong K for
+    nonzero principal points (lower-vs-upper Cholesky pitfall), so GT is the
+    stronger oracle."""
+    from stitchingvideo_tpu.geometry.autocalib import calibrate_rotating_camera
+    rng = np.random.default_rng(0)
+    K = np.array([[800.0, 2.0, 320.0], [0, 790.0, 240.0], [0, 0, 1.0]])
+    Hs = []
+    for _ in range(5):
+        R = Rotation.from_euler("xyz", rng.uniform(-0.3, 0.3, 3)).as_matrix()
+        Hs.append(K @ R @ np.linalg.inv(K))
+    Kest = calibrate_rotating_camera(Hs)
+    assert Kest is not None
+    np.testing.assert_allclose(Kest, K, atol=1e-6)
+    # scale-invariance: homographies arrive arbitrarily scaled
+    Kest2 = calibrate_rotating_camera([3.7 * H for H in Hs])
+    np.testing.assert_allclose(Kest2, K, atol=1e-6)
+    # degenerate input (identity motion) must not crash
+    assert calibrate_rotating_camera([np.eye(3)]) is None or True
+
+
 @pytest.mark.parametrize("kind,cvkind", [
     ("horiz", cv2.detail.WAVE_CORRECT_HORIZ),
     ("vert", cv2.detail.WAVE_CORRECT_VERT),
