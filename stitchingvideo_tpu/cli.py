@@ -19,10 +19,13 @@ import numpy as np
 def _build_cfg(args) -> "StitchConfig":
     from .config import StitchConfig
     cfg = StitchConfig()
+    compose_megapix = args.compose_megapix
+    if getattr(args, "preview", False):
+        compose_megapix = 0.6   # reference --preview (:319-322)
     cfg = cfg.replace(
         scales=dataclasses.replace(
             cfg.scales, work_megapix=args.work_megapix,
-            seam_megapix=args.seam_megapix, compose_megapix=args.compose_megapix),
+            seam_megapix=args.seam_megapix, compose_megapix=compose_megapix),
         features=dataclasses.replace(
             cfg.features, kind=args.features),
         match=dataclasses.replace(cfg.match, match_conf=args.match_conf),
@@ -35,6 +38,17 @@ def _build_cfg(args) -> "StitchConfig":
             expos_comp=args.expos_comp, blend_type=args.blend,
             blend_strength=args.blend_strength),
     )
+    if getattr(args, "undistort", False):
+        und = dataclasses.replace(cfg.undistort, enabled=True)
+        if args.undistort_params:
+            v = [float(x) for x in args.undistort_params.split(",")]
+            if len(v) != 8:
+                raise SystemExit("--undistort_params needs 8 comma-separated "
+                                 "values: FX,FY,CX,CY,K1,K2,P1,P2")
+            und = dataclasses.replace(
+                und, fx=v[0], fy=v[1], cx=v[2], cy=v[3],
+                dist=(v[4], v[5], v[6], v[7]))
+        cfg = cfg.replace(undistort=und)
     return cfg
 
 
@@ -66,6 +80,20 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--output", default="result.jpg")
     p.add_argument("--log_timing", action="store_true",
                    help="print per-stage timing JSON (reference resultTime.txt parity)")
+    p.add_argument("--preview", action="store_true",
+                   help="faster preview mode: compose at 0.6 MP "
+                        "(reference --preview, stitching_detailed.cpp:319)")
+    p.add_argument("--try_gpu", choices=["yes", "no"], default="no",
+                   help="accepted for flag parity; compute always runs on "
+                        "the JAX backend (the reference's GPU path is a "
+                        "stub too, src/warpers.cpp:298)")
+    p.add_argument("--undistort", action="store_true",
+                   help="fisheye/radial undistortion composed into the warp "
+                        "maps (reference RT driver RunTestEyeFishMap)")
+    p.add_argument("--undistort_params", default=None, metavar="FX,FY,CX,CY,K1,K2,P1,P2",
+                   help="undistortion intrinsics+distortion (default: the "
+                        "reference's hard-coded fisheye rig, 64-bit driver "
+                        ":209-216)")
 
 
 def _load_images(paths):
@@ -101,18 +129,44 @@ def cmd_stitch(args) -> int:
 
 
 def cmd_video(args) -> int:
+    import os
+    import time as _time
+
     from .video.runtime import VideoStitcher
-    from .video.sources import DirectorySource, ReplaySource, VideoFileSource
+    from .video.sources import (DirectorySource, ReplaySource,
+                                SharedMemorySource, VideoFileSource,
+                                spawn_video_producer)
     cfg = _build_cfg(args)
     cfg = cfg.replace(video=dataclasses.replace(
-        cfg.video, reregister_seconds=args.reregister_seconds))
+        cfg.video, reregister_seconds=args.reregister_seconds,
+        compose_mode=args.compose_mode))
     if getattr(args, "canvas_shards", 1) > 1:
         cfg = cfg.replace(parallel=dataclasses.replace(
             cfg.parallel, canvas_shards=args.canvas_shards))
+    producers = []
     if args.mode == "replay":
         src = ReplaySource(_load_images(args.inputs), jitter=2)
     elif args.mode == "dirs":
         src = DirectorySource(args.inputs, loop=True)
+    elif args.mode == "shm":
+        # the reference RT scenario: spawn one decode-producer process per
+        # camera (WinExec(GetFromRtsp.exe ...), 64-bit driver :785-793), then
+        # consume the shared-memory rings
+        names = [f"/svt_cli_{os.getpid()}_{i}" for i in range(len(args.inputs))]
+        producers = [spawn_video_producer(nm, uri, loop=True)
+                     for nm, uri in zip(names, args.inputs)]
+        src = None
+        deadline = _time.time() + 60
+        while _time.time() < deadline and src is None:
+            try:
+                src = SharedMemorySource(names, timeout_s=5.0)
+            except OSError:
+                _time.sleep(0.2)
+        if src is None:
+            raise SystemExit("shared-memory producers never came up")
+    elif args.mode == "shm_attach":
+        # attach to rings published by already-running producers
+        src = SharedMemorySource(args.inputs, timeout_s=5.0)
     else:
         src = VideoFileSource(args.inputs)
     vs = VideoStitcher(cfg)
@@ -124,7 +178,14 @@ def cmd_video(args) -> int:
                 iio.imwrite(args.output, pano)
     else:
         on_frame = None
-    stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
+    try:
+        stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
+    finally:
+        src.close()
+        for p in producers:
+            p.terminate()
+        for p in producers:
+            p.wait()
     print(f"frames: {stats.frames}, fps: {stats.fps():.1f}, "
           f"registrations: {vs.registrations}")
     if args.log_timing:
@@ -150,8 +211,18 @@ def main(argv=None) -> int:
                                       "(reference 64-bit driver mode)")
     pv.add_argument("inputs", nargs="+",
                     help="images (replay), directories, or video files/URLs")
-    pv.add_argument("--mode", choices=["replay", "dirs", "videos"],
-                    default="replay")
+    pv.add_argument("--mode",
+                    choices=["replay", "dirs", "videos", "shm", "shm_attach"],
+                    default="replay",
+                    help="replay stills | frame directories | "
+                         "cv2.VideoCapture files/URLs | spawn decode-producer "
+                         "processes into shared memory (reference RT "
+                         "scenario) | attach to existing shm rings")
+    pv.add_argument("--compose_mode", choices=["lut", "feather", "multiband"],
+                    default="lut",
+                    help="per-frame composite: 'lut' = reference-parity seam "
+                         "select; 'feather' = full feather blend, also "
+                         "hot-loop grade")
     pv.add_argument("--frames", type=int, default=100)
     pv.add_argument("--reregister_seconds", type=float, default=30.0)
     pv.add_argument("--canvas_shards", type=int, default=1,

@@ -62,6 +62,23 @@ def _resize(img: np.ndarray, scale: float) -> np.ndarray:
     return np.asarray(jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8))
 
 
+def _resize_all(images, scale: float):
+    """Batched resize: one dispatch + one fetch for same-shape cameras
+    (each per-image fetch is a synchronous relay round trip)."""
+    if scale == 1.0:
+        return [np.asarray(im) for im in images]
+    if len({im.shape for im in images}) == 1 and len(images) > 1:
+        n = len(images)
+        h, w = images[0].shape[:2]
+        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+        out = jax.image.resize(jnp.asarray(np.stack(images), jnp.float32),
+                               (n, nh, nw) + images[0].shape[2:],
+                               method="linear")
+        return list(np.asarray(jnp.clip(jnp.round(out), 0, 255)
+                               .astype(jnp.uint8)))
+    return [_resize(im, scale) for im in images]
+
+
 @partial(jax.jit, static_argnames=("kind", "interp", "border", "shape"))
 def _warp_with_maps(image, kind, scale, k_rinv, corner_xy, shape, interp, border):
     xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner_xy, shape)
@@ -94,6 +111,23 @@ def _compose_fields_batch(kind, scale, k_rinvs, corners, wh, roi_hw, shape,
 
     return jax.vmap(one)(k_rinvs, corners, wh, roi_hw, seam_canvas,
                          gain_canvas)
+
+
+@partial(jax.jit, static_argnames=("canvas_hw",))
+def _seam_canvas_place(warped, masks, rel_corners, canvas_hw):
+    """Place per-camera seam-scale warps on the canvas, on device."""
+    SH, SW = canvas_hw
+    n, hh, ww = masks.shape
+
+    def one(img, m, c):
+        ci = jnp.zeros((SH + hh, SW + ww, 3), jnp.float32)
+        cm = jnp.zeros((SH + hh, SW + ww), bool)
+        ci = jax.lax.dynamic_update_slice(ci, img.astype(jnp.float32),
+                                          (c[1], c[0], jnp.int32(0)))
+        cm = jax.lax.dynamic_update_slice(cm, m.astype(bool), (c[1], c[0]))
+        return ci[:SH, :SW], cm[:SH, :SW]
+
+    return jax.vmap(one)(warped, masks, rel_corners)
 
 
 @partial(jax.jit, static_argnames=("kind", "shape"))
@@ -141,7 +175,7 @@ class Stitcher:
         seam_work_aspect = seam_scale / work_scale
 
         self._last_work_scale = work_scale
-        work_imgs = [_resize(im, work_scale) for im in images]
+        work_imgs = _resize_all(images, work_scale)
         # staged registration with tracing spans (reference LOG/LOGLN timers,
         # SURVEY §5.1 — 'Finding features', 'Pairwise matching', ...)
         with _tracer.span("find_features"):
@@ -161,7 +195,7 @@ class Stitcher:
 
         # ---- seam-scale warps (CLI :545-580) ----
         _seam_span = _tracer.span("seam_prep"); _seam_span.__enter__()
-        seam_imgs = [_resize(im, seam_scale) for im in full_kept]
+        seam_imgs = _resize_all(full_kept, seam_scale)
         s_scale = warped_image_scale * seam_work_aspect
         s_corners: List[Tuple[int, int]] = []
         s_shapes: List[Tuple[int, int]] = []
@@ -180,13 +214,11 @@ class Stitcher:
         same_img = len({im.shape for im in seam_imgs}) == 1
         shape = (max(sh[0] for sh in s_shapes), max(sh[1] for sh in s_shapes))
         if same_img:
-            # one dispatch + one fetch for all cameras
+            # one dispatch for all cameras — stays in HBM
             wb, mb = _seam_warp_batch(
                 jnp.asarray(np.stack(seam_imgs)), kind, s_scale,
                 jnp.asarray(np.stack(k_rinvs)),
                 jnp.asarray(np.array(s_corners, np.float32)), shape)
-            s_warped = list(np.asarray(wb))
-            s_masks = list(np.asarray(mb))
         else:
             s_warped, s_masks = [], []
             for i in range(n):
@@ -200,57 +232,66 @@ class Stitcher:
                     ones, kind, s_scale, jnp.asarray(k_rinvs[i]),
                     jnp.asarray(s_corners[i], jnp.float32), shape,
                     "nearest", "constant")
-                s_warped.append(np.asarray(img_w))
-                s_masks.append(np.asarray(mask_w > 0) & np.asarray(valid))
+                s_warped.append(img_w)
+                s_masks.append((mask_w > 0) & valid)
+            wb = jnp.stack(s_warped)
+            mb = jnp.stack(s_masks)
 
-        # seam-scale canvas
+        # seam-scale canvas, assembled ON DEVICE (the round-1 host-numpy
+        # assembly cost two ~45 MB host<->device round trips per
+        # registration on the remote TPU relay — VERDICT item 2)
         sx0 = min(c[0] for c in s_corners)
         sy0 = min(c[1] for c in s_corners)
-        sx1 = max(c[0] + m.shape[1] for c, m in zip(s_corners, s_masks))
-        sy1 = max(c[1] + m.shape[0] for c, m in zip(s_corners, s_masks))
+        sx1 = max(c[0] + shape[1] for c in s_corners)
+        sy1 = max(c[1] + shape[0] for c in s_corners)
         SH, SW = _bucket(sy1 - sy0), _bucket(sx1 - sx0)
-        canvas_imgs = np.zeros((n, SH, SW, 3), np.float32)
-        canvas_masks = np.zeros((n, SH, SW), bool)
-        for i in range(n):
-            cy, cx = s_corners[i][1] - sy0, s_corners[i][0] - sx0
-            hh, ww = s_masks[i].shape
-            canvas_imgs[i, cy:cy + hh, cx:cx + ww] = s_warped[i]
-            canvas_masks[i, cy:cy + hh, cx:cx + ww] = s_masks[i]
+        rel_corners = jnp.asarray(np.array(
+            [[c[0] - sx0, c[1] - sy0] for c in s_corners], np.int32))
+        canvas_imgs, canvas_masks = _seam_canvas_place(
+            wb, mb, rel_corners, (SH, SW))
 
         _seam_span.__exit__(None, None, None)
         # ---- exposure compensation at seam scale (CLI :586-590) ----
+        # canvas_imgs/canvas_masks are device arrays; the gain solve and
+        # gain-map upsampling stay in HBM end to end
         _ec_span = _tracer.span("exposure_compensation"); _ec_span.__enter__()
         ec = cfg.compose.expos_comp
         if ec == "gain":
-            gains = np.asarray(gain_compensator(jnp.asarray(canvas_imgs),
-                                                jnp.asarray(canvas_masks)))
-            gain_canvas = np.broadcast_to(
-                gains[:, None, None], (n, SH, SW)).astype(np.float32)
+            gains = gain_compensator(canvas_imgs, canvas_masks)
+            gain_canvas = jnp.broadcast_to(
+                gains[:, None, None], (n, SH, SW)).astype(jnp.float32)
         elif ec == "gain_blocks":
             bs = cfg.compose.expos_block_size
-            gmaps = blocks_gain_maps(jnp.asarray(canvas_imgs),
-                                     jnp.asarray(canvas_masks), bs)
-            gain_canvas = np.asarray(jax.vmap(
-                lambda g: upsample_gain(g, (SH, SW), bs))(gmaps))
+            gmaps = blocks_gain_maps(canvas_imgs, canvas_masks, bs)
+            gain_canvas = jax.vmap(
+                lambda g: upsample_gain(g, (SH, SW), bs))(gmaps)
         else:
-            gain_canvas = np.ones((n, SH, SW), np.float32)
+            gain_canvas = jnp.ones((n, SH, SW), jnp.float32)
 
         _ec_span.__exit__(None, None, None)
         # ---- seam finding at seam scale (CLI :594-637) ----
         _sf_span = _tracer.span("seam_finding"); _sf_span.__enter__()
         sf = cfg.compose.seam_find
         if sf == "voronoi":
-            seam_canvas = np.asarray(voronoi_seams(jnp.asarray(canvas_masks)))
+            seam_canvas = voronoi_seams(canvas_masks)   # device end to end
         elif sf in ("gc_color", "gc_colorgrad"):
+            # BK max-flow is host-sequential (SURVEY §7.3): one fetch of the
+            # seam canvas (quantized to uint8 on device — the cut costs are
+            # color diffs of resampled u8 frames, so the 4x smaller transfer
+            # is lossless in effect), result pushed back once
+            imgs_np = np.asarray(jnp.clip(jnp.round(canvas_imgs), 0, 255)
+                                 .astype(jnp.uint8)).astype(np.float32)
             seam_canvas = graphcut_seams(
-                canvas_imgs, canvas_masks,
+                imgs_np, np.asarray(canvas_masks),
                 "color" if sf == "gc_color" else "colorgrad")
         elif sf in ("dp_color", "dp_colorgrad"):
+            imgs_np = np.asarray(jnp.clip(jnp.round(canvas_imgs), 0, 255)
+                                 .astype(jnp.uint8)).astype(np.float32)
             seam_canvas = dp_seams(
-                canvas_imgs, canvas_masks,
+                imgs_np, np.asarray(canvas_masks),
                 "color" if sf == "dp_color" else "colorgrad")
         elif sf == "no":
-            seam_canvas = canvas_masks.copy()
+            seam_canvas = canvas_masks
         else:
             raise ValueError(f"unknown seam finder {sf}")
 
@@ -296,12 +337,14 @@ class Stitcher:
             jnp.asarray([sx0, sy0], jnp.float32),
             jnp.float32(s_scale / c_scale))
 
-        # canvas
+        # canvas — bucketed so re-registrations with slightly shifted corners
+        # keep canvas_wh static (an unbucketed canvas recompiles build_lut
+        # and the blend graph on every 30 s re-registration)
         cx0 = min(c[0] for c in c_corners)
         cy0 = min(c[1] for c in c_corners)
         cx1 = max(c[0] + s[1] for c, s in zip(c_corners, c_shapes))
         cy1 = max(c[1] + s[0] for c, s in zip(c_corners, c_shapes))
-        CW, CH = cx1 - cx0, cy1 - cy0
+        CW, CH = _bucket(cx1 - cx0), _bucket(cy1 - cy0)
         corners = np.array([[c[0] - cx0, c[1] - cy0] for c in c_corners], np.int32)
 
         cams_c = Cameras(
@@ -335,7 +378,7 @@ class Stitcher:
         cfg = self.cfg
         if reg_result is not None:
             images = [images[i] for i in reg_result.indices]
-        imgs = [_resize(im, compose_scale) for im in images]
+        imgs = _resize_all(images, compose_scale)
         n = reg.n_cameras
         # pad inputs to a common static shape for vmapped remap
         Hs = max(im.shape[0] for im in imgs)
@@ -365,7 +408,7 @@ class Stitcher:
             h0, w0 = images[0].shape[:2]
             work_scale = _scale_for(cfg.scales.work_megapix, w0, h0)
             self._last_work_scale = work_scale
-            work_imgs = [_resize(im, work_scale) for im in images]
+            work_imgs = _resize_all(images, work_scale)
             with _tracer.span("registration"):
                 reg = register_images(work_imgs, cfg, seed)
             self._last_result = reg

@@ -393,15 +393,26 @@ class VideoStitcher:
         """
         with self._lock:
             tlut = self._tlut
-        if tlut is None or tlut[0] not in ("mat", "mat2"):
+            ftlut = self._ftlut
+        interpret = jax.default_backend() != "tpu"
+        if self.cfg.video.compose_mode == "feather":
+            if ftlut is None or ftlut[0] != "fmat":
+                raise RuntimeError("feather micro-batch path requires the "
+                                   "materialized feather state")
+            from ..ops.pallas.composite_feather import \
+                composite_feather_planar as fn
+            ml = ftlut[1]
+        elif tlut is not None and tlut[0] in ("mat", "mat2"):
+            ml = tlut[1]
+            if tlut[0] == "mat2":
+                from ..ops.pallas.composite_mat2 import \
+                    composite_mat2_planar as fn
+            else:
+                from ..ops.pallas.composite_mat import \
+                    composite_mat_planar as fn
+        else:
             raise RuntimeError("micro-batch path requires a materialized "
                                "Pallas LUT (register() first)")
-        interpret = jax.default_backend() != "tpu"
-        ml = tlut[1]
-        if tlut[0] == "mat2":
-            from ..ops.pallas.composite_mat2 import composite_mat2_planar as fn
-        else:
-            from ..ops.pallas.composite_mat import composite_mat_planar as fn
         return jax.lax.map(lambda f: fn(f, ml, interpret=interpret),
                            planar_batch)
 

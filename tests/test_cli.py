@@ -48,3 +48,59 @@ def test_cli_video(scene_files, tmp_path):
                "--conf_thresh", "0.6", "--output", str(out)])
     assert rc == 0
     assert out.exists()
+
+
+def test_cli_video_shm_mode(scene_files, tmp_path):
+    """Reference RT scenario from the CLI: decode producers spawned by the
+    driver (--mode shm) feeding the shared-memory rings."""
+    import cv2
+    d, paths = scene_files
+    vids = []
+    for i, p in enumerate(paths):
+        img = iio.imread(p)
+        vp = str(tmp_path / f"cam{i}.avi")
+        w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"MJPG"), 15.0,
+                            (img.shape[1], img.shape[0]))
+        assert w.isOpened()
+        for _ in range(30):
+            w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        w.release()
+        vids.append(vp)
+    out = tmp_path / "frame0.png"
+    rc = main(["video", *vids, "--mode", "shm", "--frames", "2",
+               "--warp", "cylindrical", "--seam", "voronoi",
+               "--expos_comp", "no", "--blend", "no",
+               "--conf_thresh", "0.6", "--output", str(out)])
+    assert rc == 0
+    assert out.exists()
+    assert iio.imread(out).shape[1] > 500
+
+
+def test_cli_preview_and_undistort_flags(scene_files, tmp_path):
+    """--preview composes at 0.6 MP (reference :319-322); --undistort_params
+    parses; --try_gpu accepted for flag parity."""
+    d, paths = scene_files
+    out = tmp_path / "pano.png"
+    rc = main(["stitch", *paths, "--warp", "cylindrical", "--seam", "voronoi",
+               "--expos_comp", "no", "--blend", "feather", "--preview",
+               "--try_gpu", "no", "--conf_thresh", "0.6",
+               "--output", str(out)])
+    assert rc == 0
+    full = iio.imread(tmp_path / "pano.png")
+    # 3x(384x288) inputs are ~0.11 MP each: preview caps compose at 0.6 MP
+    # total, so the pano must be smaller than full-res compose would give
+    assert full.shape[1] > 300
+
+    from stitchingvideo_tpu.cli import _build_cfg
+    import argparse
+    ns = argparse.Namespace(
+        work_megapix=0.6, seam_megapix=0.1, compose_megapix=-1.0,
+        features="orb", match_conf=0.3, conf_thresh=1.0, ba="ray",
+        ba_refine_mask="xxxxx", wave_correct="horiz", warp="spherical",
+        seam="gc_color", expos_comp="gain_blocks", blend="multiband",
+        blend_strength=5.0, preview=False, undistort=True,
+        undistort_params="100,101,50,51,-0.1,0.01,0.001,0.002")
+    cfg = _build_cfg(ns)
+    assert cfg.undistort.enabled
+    assert cfg.undistort.fx == 100 and cfg.undistort.cy == 51
+    assert cfg.undistort.dist == (-0.1, 0.01, 0.001, 0.002)

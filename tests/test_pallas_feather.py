@@ -108,6 +108,18 @@ def test_video_feather_hot_loop(scene_feather):
     assert (d <= 4).mean() > 0.99, (np.median(d), (d <= 4).mean(), d.max())
 
 
+def test_feather_microbatch(scene_feather):
+    """Serving shape: B frame-sets per device execution through the feather
+    kernel — identical to the single-frame path."""
+    vs, views = scene_feather
+    batch = jnp.asarray(np.stack(views))
+    planar = frames_to_planar_i8(batch)
+    out = vs.composite_microbatch(jnp.stack([planar, planar]))
+    single = vs.composite_feather_planar(batch)
+    assert out.shape == (2,) + single.shape
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(single))
+
+
 @pytest.fixture(scope="module")
 def scene_feather():
     from stitchingvideo_tpu.config import StitchConfig

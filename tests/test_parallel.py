@@ -86,6 +86,28 @@ def test_sharded_mat_composite_matches_single(mesh8, rng):
     assert len(out.sharding.device_set) == 8
 
 
+def test_multihost_ingest_assembly(mesh8):
+    """global_camera_batch shards per-process captures over the camera axis;
+    single-process degenerates to a plain shard (exercised end to end), and
+    local_camera_slice covers exactly the whole range across processes."""
+    from stitchingvideo_tpu.parallel.ingest import (global_camera_batch,
+                                                    local_camera_slice)
+    cam_mesh = make_mesh(canvas=1, camera=8)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (8, 32, 48, 3), np.uint8)
+    sl = local_camera_slice(cam_mesh, 8)
+    assert (sl.start, sl.stop) == (0, 8)   # single process owns everything
+    garr = global_camera_batch(cam_mesh, frames[sl])
+    assert garr.shape == (8, 32, 48, 3)
+    assert len(garr.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(garr), frames)
+    # camera-parallel consumer: per-camera mean without manual comms
+    means = jax.jit(lambda f: f.astype(jnp.float32).mean(axis=(1, 2, 3)))(garr)
+    np.testing.assert_allclose(np.asarray(means),
+                               frames.astype(np.float32).mean(axis=(1, 2, 3)),
+                               rtol=1e-6)
+
+
 def test_videostitcher_multichip_product_path(rng):
     """The PRODUCT multi-chip mode (VERDICT item 4): VideoStitcher with
     cfg.parallel.canvas_shards=8 builds the mesh, row-band-shards the
