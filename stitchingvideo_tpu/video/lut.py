@@ -37,9 +37,9 @@ class CompositeLUT:
         return self.cam_idx.shape
 
 
-@partial(jax.jit, static_argnames=("canvas_wh", "roi_hw"))
+@partial(jax.jit, static_argnames=("canvas_wh", "roi_hw", "crop"))
 def _build(corners, valid, xmaps, ymaps, seam_masks, gain_maps,
-           canvas_wh, roi_hw):
+           canvas_wh, roi_hw, crop=None):
     CW, CH = canvas_wh
     Hr, Wr = roi_hw
     n = xmaps.shape[0]
@@ -60,18 +60,31 @@ def _build(corners, valid, xmaps, ymaps, seam_masks, gain_maps,
     cam = jnp.argmax(own, axis=0)                     # first owner wins
     covered = own.any(axis=0)
     cam_idx = jnp.where(covered, cam, -1)
-    take = lambda a: jnp.take_along_axis(a, cam[None], axis=0)[0]
+
+    def take(a):
+        # equality-masked select instead of take_along_axis: a 22M-index
+        # gather is scalar-issue on TPU (~2.5 s of the warm re-registration);
+        # N where-passes are pure VPU (~ms)
+        out = a[0]
+        for i in range(1, n):
+            out = jnp.where(cam == i, a[i], out)
+        return out
+
     src_x = take(sx)
     src_y = take(sy)
     gain = jnp.where(covered, take(g), 1.0)
-    sl = (slice(0, CH), slice(0, CW))
+    y0, y1, x0, x1 = crop if crop is not None else (0, CH, 0, CW)
+    sl = (slice(y0, y1), slice(x0, x1))
     return CompositeLUT(cam_idx=cam_idx[sl].astype(jnp.int32),
                         src_x=src_x[sl], src_y=src_y[sl], gain=gain[sl])
 
 
-def build_lut(reg: Registration) -> CompositeLUT:
+def build_lut(reg: Registration, crop=None) -> CompositeLUT:
+    """crop=(y0, y1, x0, x1) applies the RT crop margins inside the same
+    jitted program (one dispatch, no separate slice pass)."""
     return _build(reg.corners, reg.valid, reg.xmaps, reg.ymaps,
-                  reg.seam_masks, reg.gain_maps, reg.canvas_wh, reg.roi_hw)
+                  reg.seam_masks, reg.gain_maps, reg.canvas_wh, reg.roi_hw,
+                  crop=tuple(crop) if crop is not None else None)
 
 
 def pad_lut_rows_for_shards(lut: CompositeLUT, n_shards: int,

@@ -126,9 +126,8 @@ class VideoStitcher:
             reg = reg.replace(xmaps=cx, ymaps=cy)
         from ..utils.timing import GLOBAL_TRACER as _tracer
         with _tracer.span("lut_build"):
-            lut = build_lut(reg)
-            lut = self._crop_lut(lut)
-            lut = jax.device_put(lut)
+            CW, CH = reg.canvas_wh
+            lut = build_lut(reg, crop=self._crop_slices((CH, CW)))
         self.install_lut(lut, frame_hw, reg=reg)
 
     def install_lut(self, lut: CompositeLUT, frame_hw,
@@ -268,12 +267,6 @@ class VideoStitcher:
         if y1 <= y0 or x1 <= x0:
             return 0, H, 0, W
         return y0, y1, x0, x1
-
-    def _crop_lut(self, lut: CompositeLUT) -> CompositeLUT:
-        y0, y1, x0, x1 = self._crop_slices(lut.cam_idx.shape)
-        sl = (slice(y0, y1), slice(x0, x1))
-        return CompositeLUT(cam_idx=lut.cam_idx[sl], src_x=lut.src_x[sl],
-                            src_y=lut.src_y[sl], gain=lut.gain[sl])
 
     @staticmethod
     def _fit_blend(blut, shape):
