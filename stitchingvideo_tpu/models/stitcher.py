@@ -31,7 +31,7 @@ from ..ops.remap import remap
 from ..photometric.exposure import blocks_gain_maps, gain_compensator, upsample_gain
 from ..register.pipeline import (RegistrationResult, compute_features,
                                  estimate_cameras, match_all_pairs)
-from ..utils.timing import GLOBAL_TRACER as _tracer
+from ..utils.timing import GLOBAL_TRACER as _tracer, maybe_sync as _msync
 from ..seams.graphcut import graphcut_seams
 from ..seams.voronoi import voronoi_seams
 from ..seams.dp import dp_seams
@@ -63,20 +63,26 @@ def _resize(img: np.ndarray, scale: float) -> np.ndarray:
 
 
 def _resize_all(images, scale: float):
-    """Batched resize: one dispatch + one fetch for same-shape cameras
-    (each per-image fetch is a synchronous relay round trip)."""
+    """Host-side resize (cv2 INTER_LINEAR — the reference's own resample,
+    CLI stitching_detailed.cpp:381,:546). Registration only ever consumes
+    work- and seam-scale pixels, so resizing on host avoids shipping the
+    full-resolution frames to the device at all (37 MB ≈ 2 s per
+    re-registration on the remote relay); falls back to the device resize
+    without cv2."""
     if scale == 1.0:
         return [np.asarray(im) for im in images]
-    if len({im.shape for im in images}) == 1 and len(images) > 1:
-        n = len(images)
-        h, w = images[0].shape[:2]
-        nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
-        out = jax.image.resize(jnp.asarray(np.stack(images), jnp.float32),
-                               (n, nh, nw) + images[0].shape[2:],
-                               method="linear")
-        return list(np.asarray(jnp.clip(jnp.round(out), 0, 255)
-                               .astype(jnp.uint8)))
-    return [_resize(im, scale) for im in images]
+    try:
+        import cv2
+    except ImportError:
+        return [_resize(im, scale) for im in images]
+    out = []
+    for im in images:
+        h, w = im.shape[:2]
+        out.append(cv2.resize(np.asarray(im),
+                              (max(1, round(w * scale)),
+                               max(1, round(h * scale))),
+                              interpolation=cv2.INTER_LINEAR))
+    return out
 
 
 @partial(jax.jit, static_argnames=("kind", "interp", "border", "shape"))
@@ -100,13 +106,26 @@ def _compose_fields_batch(kind, scale, k_rinvs, corners, wh, roi_hw, shape,
         yy_r = jnp.arange(Hr) < roi_i[0]
         xx_r = jnp.arange(Wr) < roi_i[1]
         v = valid & inb & (yy_r[:, None] & xx_r[None, :])
-        yy = (jnp.arange(Hr, dtype=jnp.float32) + corner[1]) * ratio             - canvas_origin[1]
-        xx = (jnp.arange(Wr, dtype=jnp.float32) + corner[0]) * ratio             - canvas_origin[0]
-        gy = jnp.broadcast_to(yy[:, None], (Hr, Wr))
-        gx = jnp.broadcast_to(xx[None, :], (Hr, Wr))
+        # seam/gain transfer from the seam canvas is an AFFINE resample
+        # (in_pos = out*ratio + corner*ratio - origin): scale_and_translate
+        # lowers to resampling-matrix matmuls — the 24M-point remap gathers
+        # here were the dominant warm re-registration stage on TPU
+        cy = corner[1] * ratio - canvas_origin[1]
+        cx = corner[0] * ratio - canvas_origin[0]
+        sc = jnp.stack([1.0 / ratio, 1.0 / ratio])
+        half = 0.5 * ratio - 0.5
+
+        def affine(img, c_shift):
+            tr = jnp.stack([(half - (cy + c_shift)) / ratio,
+                            (half - (cx + c_shift)) / ratio])
+            return jax.image.scale_and_translate(
+                img, (Hr, Wr), (0, 1), sc, tr, method="linear",
+                antialias=False)
+
         sm = dilate(seam_i, 3).astype(jnp.float32)
-        seam_r = remap(sm, gx, gy, interp="linear", border="constant")
-        gain_r = remap(gain_i, gx, gy, interp="linear", border="replicate")
+        seam_r = affine(sm, 0.0)              # zero border = remap 'constant'
+        # replicate border for gain: 2px edge pad, origin shifted to match
+        gain_r = affine(jnp.pad(gain_i, 2, mode="edge"), 2.0)
         return xm, ym, v, (seam_r > 0.05) & v, gain_r
 
     return jax.vmap(one)(k_rinvs, corners, wh, roi_hw, seam_canvas,
@@ -137,9 +156,11 @@ def _seam_warp_batch(images, kind, scale, k_rinvs, corners, shape):
     def one(img, k_rinv, corner):
         xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner, shape)
         w = remap(img, xm, ym, interp="linear", border="reflect")
-        ones = jnp.ones(img.shape[:2], jnp.float32)
-        m = remap(ones, xm, ym, interp="nearest", border="constant")
-        return w, (m > 0) & valid
+        # the mask 'warp' (remap of ones, nearest/constant) is analytically
+        # the nearest-tap in-range test — no gather needed
+        H, W = img.shape[:2]
+        inb = (xm > -0.5) & (xm < W - 0.5) & (ym > -0.5) & (ym < H - 0.5)
+        return w, inb & valid
     return jax.vmap(one)(images, k_rinvs, corners)
 
 
@@ -196,6 +217,7 @@ class Stitcher:
         # ---- seam-scale warps (CLI :545-580) ----
         _seam_span = _tracer.span("seam_prep"); _seam_span.__enter__()
         seam_imgs = _resize_all(full_kept, seam_scale)
+        seam_shapes = [im.shape[:2] for im in seam_imgs]
         s_scale = warped_image_scale * seam_work_aspect
         s_corners: List[Tuple[int, int]] = []
         s_shapes: List[Tuple[int, int]] = []
@@ -205,16 +227,15 @@ class Stitcher:
             K[0] *= seam_work_aspect
             K[1] *= seam_work_aspect
             R = np.asarray(cams.R[i])
-            hs, ws = seam_imgs[i].shape[:2]
+            hs, ws = seam_shapes[i]
             tlx, tly, brx, bry = detect_result_roi(kind, s_scale, K, R, (ws, hs))
             s_corners.append((tlx, tly))
             s_shapes.append((_bucket(bry - tly + 1), _bucket(brx - tlx + 1)))
             _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
             k_rinvs.append(np.asarray(k_rinv))
-        same_img = len({im.shape for im in seam_imgs}) == 1
         shape = (max(sh[0] for sh in s_shapes), max(sh[1] for sh in s_shapes))
-        if same_img:
-            # one dispatch for all cameras — stays in HBM
+        if len(set(seam_shapes)) == 1:
+            # one upload (seam scale, ~1 MB) + one dispatch for all cameras
             wb, mb = _seam_warp_batch(
                 jnp.asarray(np.stack(seam_imgs)), kind, s_scale,
                 jnp.asarray(np.stack(k_rinvs)),
@@ -250,6 +271,7 @@ class Stitcher:
         canvas_imgs, canvas_masks = _seam_canvas_place(
             wb, mb, rel_corners, (SH, SW))
 
+        _msync(canvas_imgs, canvas_masks)
         _seam_span.__exit__(None, None, None)
         # ---- exposure compensation at seam scale (CLI :586-590) ----
         # canvas_imgs/canvas_masks are device arrays; the gain solve and
@@ -268,6 +290,7 @@ class Stitcher:
         else:
             gain_canvas = jnp.ones((n, SH, SW), jnp.float32)
 
+        _msync(gain_canvas)
         _ec_span.__exit__(None, None, None)
         # ---- seam finding at seam scale (CLI :594-637) ----
         _sf_span = _tracer.span("seam_finding"); _sf_span.__enter__()
@@ -275,14 +298,14 @@ class Stitcher:
         if sf == "voronoi":
             seam_canvas = voronoi_seams(canvas_masks)   # device end to end
         elif sf in ("gc_color", "gc_colorgrad"):
-            # BK max-flow is host-sequential (SURVEY §7.3): one fetch of the
-            # seam canvas (quantized to uint8 on device — the cut costs are
-            # color diffs of resampled u8 frames, so the 4x smaller transfer
-            # is lossless in effect), result pushed back once
-            imgs_np = np.asarray(jnp.clip(jnp.round(canvas_imgs), 0, 255)
-                                 .astype(jnp.uint8)).astype(np.float32)
-            seam_canvas = graphcut_seams(
-                imgs_np, np.asarray(canvas_masks),
+            # BK max-flow is host-sequential (SURVEY §7.3); only the
+            # pairwise-overlap BANDS are fetched (u8-quantized, one batched
+            # transfer) instead of the full ~45 MB seam canvas
+            from ..seams.graphcut import graphcut_seams_banded
+            imgs_u8 = jnp.clip(jnp.round(canvas_imgs), 0,
+                               255).astype(jnp.uint8)
+            seam_canvas = graphcut_seams_banded(
+                imgs_u8, canvas_masks,
                 "color" if sf == "gc_color" else "colorgrad")
         elif sf in ("dp_color", "dp_colorgrad"):
             imgs_np = np.asarray(jnp.clip(jnp.round(canvas_imgs), 0, 255)
@@ -295,6 +318,7 @@ class Stitcher:
         else:
             raise ValueError(f"unknown seam finder {sf}")
 
+        _msync(seam_canvas)
         _sf_span.__exit__(None, None, None)
         # ---- compose-scale warp fields (CLI :656-716) ----
         _cw_span = _tracer.span("warp_field_build"); _cw_span.__enter__()
@@ -354,6 +378,7 @@ class Stitcher:
             ppy=cams.ppy * compose_work_aspect,
             R=cams.R, t=cams.t)
 
+        _msync(xmaps, seam_rois, gain_rois)
         _cw_span.__exit__(None, None, None)
         return Registration(
             cameras=cams_c,

@@ -117,7 +117,12 @@ def _build_blend(corners, valid, xmaps, ymaps, seam_masks, gain_maps,
     wb = jnp.where(s > 0, w2 / jnp.maximum(s, 1e-20), 0.0)
 
     def take(a, c):
-        return jnp.take_along_axis(a, jnp.maximum(c, 0)[None], axis=0)[0]
+        # equality-masked select: a take_along_axis here is a 22M-index
+        # scalar-issue gather (see video/lut.py _build for the same fix)
+        out = a[0]
+        for i in range(1, n):
+            out = jnp.where(c == i, a[i], out)
+        return out
 
     act_a = (c1 >= 0) & (wa > 0)
     act_b = (c2 >= 0) & (wb > 0)

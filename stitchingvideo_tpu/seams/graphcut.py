@@ -104,3 +104,110 @@ def graphcut_seams(images: np.ndarray, masks: np.ndarray,
         for j in range(i + 1, n):
             ms[i], ms[j] = _pair_cut(imgs[i], imgs[j], ms[i], ms[j], cost_type)
     return np.stack(ms)
+
+
+def _bucket(x: int, q: int) -> int:
+    return -(-x // q) * q
+
+
+def _overlap_meta_jit():
+    import jax
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("pairs",))
+    def meta(masks, pairs):
+        import jax.numpy as jnp
+        H, W = masks.shape[1:]
+        ii = jnp.asarray([p[0] for p in pairs])
+        jj = jnp.asarray([p[1] for p in pairs])
+        ov = masks[ii] & masks[jj]
+        ys = ov.any(axis=2)
+        xs = ov.any(axis=1)
+        yi = jnp.arange(H)[None]
+        xi = jnp.arange(W)[None]
+        return jnp.stack([
+            ov.any(axis=(1, 2)).astype(jnp.int32),
+            jnp.min(jnp.where(ys, yi, H), axis=1),
+            jnp.max(jnp.where(ys, yi, -1), axis=1),
+            jnp.min(jnp.where(xs, xi, W), axis=1),
+            jnp.max(jnp.where(xs, xi, -1), axis=1)], axis=1)
+
+    return meta
+
+
+def _crop_bands_jit():
+    import jax
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("bh", "bw"))
+    def crop_bands(canvas_imgs, idx, org, bh, bw):
+        def crop(pair_idx, o):
+            return jax.vmap(lambda c: jax.lax.dynamic_slice(
+                canvas_imgs[c], (o[0], o[1], 0), (bh, bw, 3)))(pair_idx)
+        return jax.vmap(crop)(idx, org)
+
+    return crop_bands
+
+
+_OVERLAP_META = None
+_CROP_BANDS = None
+_L_BUCKET = 4       # live-pair-count bucket (stable jit signatures)
+_B_BUCKET = 64      # band-shape bucket
+
+
+def graphcut_seams_banded(canvas_imgs, canvas_masks,
+                          cost_type: str = "color") -> np.ndarray:
+    """Device-aware variant: canvas_imgs/canvas_masks are jax device arrays.
+
+    Only the pairwise-overlap BANDS of the image canvas are fetched to host
+    (one batched transfer) — the full 6-camera seam canvas is ~45 MB over the
+    remote TPU relay, while the overlap bands are a few MB. Band shape and
+    pair count are bucketed so re-registrations reuse the compiled crop
+    program. The sequential BK cuts (reference pair order,
+    seam_finders.cpp:1122-1135) run on the host masks exactly as
+    `graphcut_seams` does, so results are identical.
+    """
+    import jax.numpy as jnp
+
+    global _OVERLAP_META, _CROP_BANDS
+    if _OVERLAP_META is None:
+        _OVERLAP_META = _overlap_meta_jit()
+        _CROP_BANDS = _crop_bands_jit()
+
+    N, H, W = canvas_masks.shape
+    ii, jj = np.triu_indices(N, 1)
+    pairs = tuple((int(a), int(b)) for a, b in zip(ii, jj))
+    meta = np.asarray(_OVERLAP_META(canvas_masks, pairs))
+    masks = np.asarray(canvas_masks).astype(bool).copy()
+    live = [k for k in range(len(pairs)) if meta[k, 0]]
+    if not live:
+        return masks
+
+    bh = min(H, _bucket(max(int(meta[k, 2] - meta[k, 1]) + 1 for k in live)
+                        + 2 * GAP, _B_BUCKET))
+    bw = min(W, _bucket(max(int(meta[k, 4] - meta[k, 3]) + 1 for k in live)
+                        + 2 * GAP, _B_BUCKET))
+    origins = [(int(np.clip(meta[k, 1] - GAP, 0, H - bh)),
+                int(np.clip(meta[k, 3] - GAP, 0, W - bw)))
+               for k in live]
+    # one batched fetch of the image bands for every live pair; the pair
+    # list is padded to a bucket so the crop program signature is stable
+    Lp = _bucket(len(live), _L_BUCKET)
+    idx_np = np.array([[ii[k], jj[k]] for k in live]
+                      + [[ii[live[0]], jj[live[0]]]] * (Lp - len(live)))
+    org_np = np.array(origins + [origins[0]] * (Lp - len(live)))
+    bands = np.asarray(_CROP_BANDS(canvas_imgs, jnp.asarray(idx_np),
+                                   jnp.asarray(org_np), bh, bw),
+                       dtype=np.float32)
+
+    for t, k in enumerate(live):
+        oy, ox = origins[t]
+        i, j = int(ii[k]), int(jj[k])
+        sl = (slice(oy, oy + bh), slice(ox, ox + bw))
+        m1, m2 = _pair_cut(bands[t, 0], bands[t, 1],
+                           masks[i][sl], masks[j][sl], cost_type)
+        masks[i][sl] = m1
+        masks[j][sl] = m2
+    return masks

@@ -55,3 +55,22 @@ class Tracer:
 
 
 GLOBAL_TRACER = Tracer()
+
+# STITCH_SYNC_SPANS=1: block on device results at span boundaries so stage
+# timings attribute async device work to the stage that issued it (JAX
+# dispatch is asynchronous — without this, a span's cost surfaces at the next
+# host fetch and the report misleads).
+import os as _os  # noqa: E402
+
+SYNC_SPANS = _os.environ.get("STITCH_SYNC_SPANS", "") not in ("", "0")
+
+
+def maybe_sync(*arrays) -> None:
+    if not SYNC_SPANS:
+        return
+    import jax
+    for a in arrays:
+        try:
+            jax.block_until_ready(a)
+        except Exception:
+            pass

@@ -147,6 +147,27 @@ def test_graphcut_cost_parity_with_cv2(rng):
     assert ours_cost <= cv2_cost * 1.1 + 1e-3, (ours_cost, cv2_cost)
 
 
+def test_graphcut_banded_matches_full(rng):
+    """graphcut_seams_banded (fetches only overlap bands from device) must
+    produce the same masks as the full-canvas host path."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.seams.graphcut import (graphcut_seams,
+                                                   graphcut_seams_banded)
+    H, W, n = 72, 200, 3
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H, W, 3)).astype(np.float32), (9, 9), 3.0)
+    imgs = np.zeros((n, H, W, 3), np.float32)
+    masks = np.zeros((n, H, W), bool)
+    spans = [(0, 90), (60, 150), (120, 200)]
+    for i, (a, b) in enumerate(spans):
+        imgs[i, :, a:b] = np.round(base[:, a:b])  # u8-grid values
+        masks[i, :, a:b] = True
+    ref = graphcut_seams(imgs, masks, "color")
+    out = graphcut_seams_banded(jnp.asarray(imgs.astype(np.uint8)),
+                                jnp.asarray(masks), "color")
+    np.testing.assert_array_equal(out, ref)
+
+
 def _dp_fixture(orient: str, seed: int = 0, H=120, W=160, ov=48):
     """Two structured views with an overlap band: 'horizontal' = side-by-side
     cameras (tall narrow overlap), 'vertical' = stacked cameras (wide short
