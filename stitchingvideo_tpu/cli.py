@@ -233,6 +233,8 @@ def main(argv=None) -> int:
     pv.set_defaults(func=cmd_video)
 
     args = parser.parse_args(argv)
+    from .utils.timing import enable_compilation_cache
+    enable_compilation_cache()
     return args.func(args)
 
 
