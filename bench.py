@@ -87,13 +87,20 @@ def bench_registration(frames):
     # three warm re-registrations; report the best (the remote TPU relay
     # adds multi-second jitter per run, and a one-off shape-bucket crossing
     # recompiles a graph — the final repeat-seed run has every bucket warm,
-    # which is what the 30 s re-registration cycle pays in equilibrium)
+    # which is what the 30 s re-registration cycle pays in equilibrium).
+    # Every run gets DISTINCT frame values (photometric jitter) so a
+    # value-memoizing relay cannot serve a cached registration; the repeated
+    # seed only keeps the RANSAC sampling, hence the shape buckets, stable.
+    rng = np.random.default_rng(7)
     warm = float("inf")
     stages = {}
     for seed in (1, 2, 1):
+        jittered = [np.clip(f.astype(np.int16) +
+                            rng.integers(-1, 2, f.shape), 0,
+                            255).astype(np.uint8) for f in frames]
         GLOBAL_TRACER.spans.clear()
         t0 = time.perf_counter()
-        vs.register(frames, seed=seed)
+        vs.register(jittered, seed=seed)
         w = time.perf_counter() - t0
         if w < warm:
             warm = w
@@ -150,10 +157,25 @@ def main():
         lut = jax.device_put(synthetic_lut())
         state = jax.device_put(_build(lut, frames_np.shape[1:3]))
 
-    B = 16
+    # Timing methodology: every iteration gets a DISTINCT input and a small
+    # checksum of each output frame is fetched to host. This defeats both
+    # lazy/deferred execution and value-memoizing execution layers — without
+    # it a remote-TPU relay reports fantasy numbers (dead outputs never run).
+    def run_timing(step_fn, st, batches, B, iters=6):
+        for b in batches:                     # warmup (compiles/traces here)
+            np.asarray(step_fn(b, st))
+        t0 = time.perf_counter()
+        sums = [tuple(np.asarray(step_fn(batches[i % 4], st)).ravel().tolist())
+                for i in range(iters)]
+        dt = (time.perf_counter() - t0) / (iters * B)
+        flat = [v for t in sums for v in t]
+        assert len(set(flat)) > len(flat) // 2, "outputs not distinct — invalid"
+        return 1.0 / dt
+
     rng = np.random.default_rng(1)
+    n, fh, fw = frames_np.shape[:3]
     try:
-        n, fh, fw = frames_np.shape[:3]
+        B = 16
         batches = [jax.device_put(jnp.asarray(
             rng.integers(-128, 127, (B, n, 3, fh, fw), np.int8)))
             for _ in range(4)]
@@ -162,7 +184,11 @@ def main():
         def step(fb, s):
             outs = jax.lax.map(lambda f: _compose(f, s), fb)
             return outs[:, :, 301, ::401].astype(jnp.int32).sum(axis=(1, 2))
+
+        fps = run_timing(step, state, batches, B)
     except Exception:
+        # Pallas unavailable/failed (incl. at first trace in warmup):
+        # demote to the exact XLA gather reference
         path = "xla_gather"
         from stitchingvideo_tpu.video.lut import composite_frame_u8
         state = jax.device_put(synthetic_lut())
@@ -171,24 +197,11 @@ def main():
                    for i in range(4)]
 
         @jax.jit
-        def step(fb, s):
+        def step_g(fb, s):
             out = composite_frame_u8(fb[0], s)
             return out[None, ::301, ::401].astype(jnp.int32).sum(axis=(1, 2))
 
-    # Timing methodology: every iteration gets a DISTINCT input and a small
-    # checksum of each output frame is fetched to host. This defeats both
-    # lazy/deferred execution and value-memoizing execution layers — without
-    # it a remote-TPU relay reports fantasy numbers (dead outputs never run).
-    for b in batches:
-        np.asarray(step(b, state))
-    iters = 6
-    t0 = time.perf_counter()
-    all_sums = [tuple(np.asarray(step(batches[i % 4], state)))
-                for i in range(iters)]
-    dt = (time.perf_counter() - t0) / (iters * B)
-    flat = [v for t in all_sums for v in t]
-    assert len(set(flat)) > len(flat) // 2, "outputs not distinct — invalid"
-    fps = 1.0 / dt
+        fps = run_timing(step_g, state, batches, B)
 
     result.update({
         "metric": "multicam_1080p_360pano_composite_fps",
@@ -200,10 +213,10 @@ def main():
         "frames_source": source,
     })
 
-    # feather-blended hot-loop mode (beyond-reference quality at video rate)
-    if reg_state is not None:
+    # feather-blended hot-loop mode (beyond-reference quality at video rate);
+    # reuses the planar int8 batches, so only on the Pallas path
+    if reg_state is not None and path == "pallas_mat2_real_reg":
         try:
-            n, fh, fw = frames_np.shape[:3]
             if vs.build_feather_state((fh, fw)):
                 from stitchingvideo_tpu.ops.pallas.composite_feather import \
                     composite_feather_planar as _fthr
@@ -216,15 +229,8 @@ def main():
                     return outs[:, :, 301, ::401].astype(jnp.int32) \
                         .sum(axis=(1, 2))
 
-                for b in batches:
-                    np.asarray(step_f(b, fml))
-                t0 = time.perf_counter()
-                sums = [tuple(np.asarray(step_f(batches[i % 4], fml)))
-                        for i in range(4)]
-                dtf = (time.perf_counter() - t0) / (4 * B)
-                flatf = [v for t in sums for v in t]
-                assert len(set(flatf)) > len(flatf) // 2
-                result["feather_fps"] = round(1.0 / dtf, 2)
+                result["feather_fps"] = round(
+                    run_timing(step_f, fml, batches, B, iters=4), 2)
         except Exception as e:
             result["feather_error"] = repr(e)[:200]
     print(json.dumps(result))

@@ -144,31 +144,44 @@ def cmd_video(args) -> int:
         cfg = cfg.replace(parallel=dataclasses.replace(
             cfg.parallel, canvas_shards=args.canvas_shards))
     producers = []
-    if args.mode == "replay":
-        src = ReplaySource(_load_images(args.inputs), jitter=2)
-    elif args.mode == "dirs":
-        src = DirectorySource(args.inputs, loop=True)
-    elif args.mode == "shm":
-        # the reference RT scenario: spawn one decode-producer process per
-        # camera (WinExec(GetFromRtsp.exe ...), 64-bit driver :785-793), then
-        # consume the shared-memory rings
-        names = [f"/svt_cli_{os.getpid()}_{i}" for i in range(len(args.inputs))]
-        producers = [spawn_video_producer(nm, uri, loop=True)
-                     for nm, uri in zip(names, args.inputs)]
-        src = None
-        deadline = _time.time() + 60
-        while _time.time() < deadline and src is None:
-            try:
-                src = SharedMemorySource(names, timeout_s=5.0)
-            except OSError:
-                _time.sleep(0.2)
-        if src is None:
-            raise SystemExit("shared-memory producers never came up")
-    elif args.mode == "shm_attach":
-        # attach to rings published by already-running producers
-        src = SharedMemorySource(args.inputs, timeout_s=5.0)
-    else:
-        src = VideoFileSource(args.inputs)
+    src = None
+    try:
+        if args.mode == "replay":
+            src = ReplaySource(_load_images(args.inputs), jitter=2)
+        elif args.mode == "dirs":
+            src = DirectorySource(args.inputs, loop=True)
+        elif args.mode == "shm":
+            # the reference RT scenario: spawn one decode-producer process
+            # per camera (WinExec(GetFromRtsp.exe ...), 64-bit driver
+            # :785-793), then consume the shared-memory rings. Names carry a
+            # time nonce so a PID-reused run can never attach a stale ring.
+            names = [f"/svt_cli_{os.getpid()}_{int(_time.time()) % 10**6}_{i}"
+                     for i in range(len(args.inputs))]
+            producers = [spawn_video_producer(nm, uri, loop=True)
+                         for nm, uri in zip(names, args.inputs)]
+            deadline = _time.time() + 60
+            while _time.time() < deadline and src is None:
+                if any(p.poll() is not None for p in producers):
+                    raise SystemExit("a decode producer exited at startup "
+                                     "(bad input URI?)")
+                try:
+                    src = SharedMemorySource(names, timeout_s=5.0)
+                except OSError:
+                    _time.sleep(0.2)
+            if src is None:
+                raise SystemExit("shared-memory producers never came up")
+        elif args.mode == "shm_attach":
+            # attach to rings published by already-running producers
+            src = SharedMemorySource(args.inputs, timeout_s=5.0)
+        else:
+            src = VideoFileSource(args.inputs)
+    except BaseException:
+        # startup failure must not orphan looping producer processes
+        for p in producers:
+            p.terminate()
+        for p in producers:
+            p.wait()
+        raise
     vs = VideoStitcher(cfg)
     if args.output:
         import imageio.v3 as iio
@@ -181,11 +194,14 @@ def cmd_video(args) -> int:
     try:
         stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
     finally:
-        src.close()
         for p in producers:
             p.terminate()
         for p in producers:
             p.wait()
+        if args.mode == "shm":
+            src.close(unlink=True)   # we own the rings: no /dev/shm leak
+        else:
+            src.close()
     print(f"frames: {stats.frames}, fps: {stats.fps():.1f}, "
           f"registrations: {vs.registrations}")
     if args.log_timing:

@@ -171,6 +171,17 @@ class Stitcher:
         self.cfg = config or StitchConfig()
         self._last_result: Optional[RegistrationResult] = None
         self._last_work_scale: float = 1.0
+        self._shape_memo: dict = {}
+
+    def _sticky(self, name: str, value: int) -> int:
+        """Session-sticky shape: never shrinks. Re-registrations whose ROIs
+        jitter around a bucket boundary would otherwise flip the static
+        shapes of the big compiled programs back and forth — each flip costs
+        a trace+lower (+compile) on every 30 s cycle. Growing monotonically
+        freezes the statics after the largest size has been seen once."""
+        v = max(int(value), self._shape_memo.get(name, 0))
+        self._shape_memo[name] = v
+        return v
 
     # accessor parity with cv::Stitcher (stitcher.hpp:58-174)
     def cameras(self) -> Optional[Cameras]:
@@ -233,7 +244,8 @@ class Stitcher:
             s_shapes.append((_bucket(bry - tly + 1), _bucket(brx - tlx + 1)))
             _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
             k_rinvs.append(np.asarray(k_rinv))
-        shape = (max(sh[0] for sh in s_shapes), max(sh[1] for sh in s_shapes))
+        shape = (self._sticky("seam_h", max(sh[0] for sh in s_shapes)),
+                 self._sticky("seam_w", max(sh[1] for sh in s_shapes)))
         if len(set(seam_shapes)) == 1:
             # one upload (seam scale, ~1 MB) + one dispatch for all cameras
             wb, mb = _seam_warp_batch(
@@ -265,7 +277,8 @@ class Stitcher:
         sy0 = min(c[1] for c in s_corners)
         sx1 = max(c[0] + shape[1] for c in s_corners)
         sy1 = max(c[1] + shape[0] for c in s_corners)
-        SH, SW = _bucket(sy1 - sy0), _bucket(sx1 - sx0)
+        SH = self._sticky("canvas_sh", _bucket(sy1 - sy0))
+        SW = self._sticky("canvas_sw", _bucket(sx1 - sx0))
         rel_corners = jnp.asarray(np.array(
             [[c[0] - sx0, c[1] - sy0] for c in s_corners], np.int32))
         canvas_imgs, canvas_masks = _seam_canvas_place(
@@ -341,8 +354,8 @@ class Stitcher:
             c_corners.append((tlx, tly))
             c_shapes.append((bry - tly + 1, brx - tlx + 1))
 
-        Hr = _bucket(max(s[0] for s in c_shapes), 128)
-        Wr = _bucket(max(s[1] for s in c_shapes), 128)
+        Hr = self._sticky("roi_h", _bucket(max(s[0] for s in c_shapes), 128))
+        Wr = self._sticky("roi_w", _bucket(max(s[1] for s in c_shapes), 128))
 
         # device-side field build in ONE dispatch for all cameras — the maps
         # stay in HBM from rasterization straight into the Registration pytree
@@ -368,7 +381,8 @@ class Stitcher:
         cy0 = min(c[1] for c in c_corners)
         cx1 = max(c[0] + s[1] for c, s in zip(c_corners, c_shapes))
         cy1 = max(c[1] + s[0] for c, s in zip(c_corners, c_shapes))
-        CW, CH = _bucket(cx1 - cx0), _bucket(cy1 - cy0)
+        CW = self._sticky("pano_w", _bucket(cx1 - cx0))
+        CH = self._sticky("pano_h", _bucket(cy1 - cy0))
         corners = np.array([[c[0] - cx0, c[1] - cy0] for c in c_corners], np.int32)
 
         cams_c = Cameras(

@@ -244,14 +244,6 @@ def _window(mask, sy, sx, fh, fw):
     return oy, ox, boff, ovy | ovx | ovb
 
 
-@jax.jit
-def _fb_count(blut: BlendLUT, frame_hw_arr):
-    fh = frame_hw_arr[0]
-    fw = frame_hw_arr[1]
-    del fh, fw
-    return jnp.int32(0)  # placeholder; real count computed in _count
-
-
 @partial(jax.jit, static_argnames=("frame_hw",))
 def _count_fallback(blut: BlendLUT, frame_hw):
     fh, fw = frame_hw
@@ -434,18 +426,11 @@ def _fb_blend_values(planar_i8: jnp.ndarray, ml: FeatherMatLUT) -> jnp.ndarray:
     flat = planar_i8.reshape(-1).astype(jnp.float32)
 
     def slot(s):
+        from .composite_mat2 import bilinear_taps
         cam = jnp.maximum(ml.fb_cam[:, s], 0)
-        sx = ml.fb_sx[:, s]
-        sy = ml.fb_sy[:, s]
         gw = jnp.where(ml.fb_cam[:, s] >= 0, ml.fb_gw[:, s], 0.0)
-        x0f = jnp.floor(sx)
-        y0f = jnp.floor(sy)
-        fx = sx - x0f
-        fy = sy - y0f
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
+        x0, y0, x1, y1, fx, fy = bilinear_taps(ml.fb_sx[:, s],
+                                               ml.fb_sy[:, s], H, W)
 
         def chan(c):
             base = cam * (3 * H * W) + c * (H * W)
@@ -522,15 +507,9 @@ def composite_blend_gather(frames: jnp.ndarray,
     flat = frames.reshape(n * H * W, C).astype(jnp.float32)
 
     def slot(cam_idx, sx, sy, gw):
+        from .composite_mat2 import bilinear_taps
         base = jnp.maximum(cam_idx, 0) * (H * W)
-        x0f = jnp.floor(sx)
-        y0f = jnp.floor(sy)
-        fx = sx - x0f
-        fy = sy - y0f
-        x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-        y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-        x1 = jnp.minimum(x0 + 1, W - 1)
-        y1 = jnp.minimum(y0 + 1, H - 1)
+        x0, y0, x1, y1, fx, fy = bilinear_taps(sx, sy, H, W)
 
         def g(yi, xi):
             return jnp.take(flat, (base + yi * W + xi).reshape(-1), axis=0) \

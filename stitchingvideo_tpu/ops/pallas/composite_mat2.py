@@ -394,6 +394,22 @@ def _class_call(planar_i8, cl: ClassLUT, win_h: int, Tg_total: int,
     )(*args)
 
 
+def bilinear_taps(sx, sy, H: int, W: int):
+    """Clamped bilinear tap indices + fractional weights — the one shared
+    definition of the gather reference's edge rules (used by the exact
+    fallback overlays here and in composite_feather; keep in sync with
+    video/lut.composite_frame)."""
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    fx = sx - x0f
+    fy = sy - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    return x0, y0, x1, y1, fx, fy
+
+
 def _fallback_values(planar_i8: jnp.ndarray, ml: MatLUT2) -> jnp.ndarray:
     """Exact bilinear gather for the fallback tiles only: [3, Fb, P] f32.
 
@@ -403,14 +419,7 @@ def _fallback_values(planar_i8: jnp.ndarray, ml: MatLUT2) -> jnp.ndarray:
     N, _, H, W = planar_i8.shape
     flat = planar_i8.reshape(-1).astype(jnp.float32) + 128.0
     cam = jnp.maximum(ml.fb_cam, 0)
-    x0f = jnp.floor(ml.fb_sx)
-    y0f = jnp.floor(ml.fb_sy)
-    fx = ml.fb_sx - x0f
-    fy = ml.fb_sy - y0f
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, W - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, H - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
+    x0, y0, x1, y1, fx, fy = bilinear_taps(ml.fb_sx, ml.fb_sy, H, W)
 
     def chan(c):
         base = cam * (3 * H * W) + c * (H * W)

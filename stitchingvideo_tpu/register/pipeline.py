@@ -229,6 +229,21 @@ def estimate_cameras(features: List[dict], pairs: List[PairResult],
         pts1 = np.stack([p.pts1 for p in ba_pairs]).astype(np.float32)
         pts2 = np.stack([p.pts2 for p in ba_pairs]).astype(np.float32)
         w = np.stack([p.inlier_w for p in ba_pairs]).astype(np.float32)
+        # pad the edge set to a bucket with zero-weight duplicates so a
+        # re-registration gaining/losing an edge reuses the compiled LM
+        # program (the edge count is a static shape of bundle_adjust)
+        E = len(ba_pairs)
+        Ep = -(-E // 4) * 4
+        if Ep > E:
+            pad = Ep - E
+            edge_i = np.concatenate([edge_i, np.repeat(edge_i[:1], pad)])
+            edge_j = np.concatenate([edge_j, np.repeat(edge_j[:1], pad)])
+            pts1 = np.concatenate([pts1, np.zeros((pad,) + pts1.shape[1:],
+                                                  np.float32)])
+            pts2 = np.concatenate([pts2, np.zeros((pad,) + pts2.shape[1:],
+                                                  np.float32)])
+            w = np.concatenate([w, np.zeros((pad,) + w.shape[1:],
+                                            np.float32)])
         # 5-char mask parity (CLI parseCmdArgs :259-272 -> refinement_mask_
         # cells; motion_estimators.cpp:389-438): fx, skew, ppx, aspect, ppy.
         # Skew is parsed but refines nothing — exactly like the reference,

@@ -125,9 +125,11 @@ class VideoStitcher:
                 reg.xmaps, reg.ymaps)
             reg = reg.replace(xmaps=cx, ymaps=cy)
         from ..utils.timing import GLOBAL_TRACER as _tracer
+        from ..utils.timing import maybe_sync as _msync
         with _tracer.span("lut_build"):
             CW, CH = reg.canvas_wh
             lut = build_lut(reg, crop=self._crop_slices((CH, CW)))
+            _msync(lut.cam_idx)
         self.install_lut(lut, frame_hw, reg=reg)
 
     def install_lut(self, lut: CompositeLUT, frame_hw,
@@ -150,6 +152,9 @@ class VideoStitcher:
                 self._tlut = self._try_tiled(lut, frame_hw,
                                              self.cfg.video.kernel,
                                              self._mesh)
+                from ..utils.timing import maybe_sync as _ms2
+                if self._tlut is not None:
+                    _ms2(jax.tree.leaves(self._tlut[1])[0])
             self._last_reg_time = time.monotonic()
             self.registrations += 1
         if self.cfg.video.compose_mode == "feather" and reg is not None:
@@ -226,7 +231,11 @@ class VideoStitcher:
                     fn = sharded_composite_mat_fn(mesh, ml, interpret=interp)
                     return ("mat_sharded", (shard_mat_lut(ml, mesh), fn, Hp))
             except Exception:
-                pass
+                # never a silent demotion: the user asked for multichip
+                import logging
+                logging.getLogger(__name__).warning(
+                    "multichip compose demoted to single-device "
+                    "(sharded kernel build failed)", exc_info=True)
         try:
             from ..ops.pallas.composite import build_tiled_lut
             from ..ops.pallas.composite_mat import _materialize

@@ -137,9 +137,12 @@ class SharedMemorySource(FrameSource):
             frames.append(f)
         return frames
 
-    def close(self):
+    def close(self, unlink: bool = False):
+        """unlink=True removes the shm names too — the owner of spawned
+        producers should pass it so /dev/shm segments don't leak across
+        runs (and a PID-reused name can't attach to a stale ring)."""
         for r in self.rings:
-            r.close(False)
+            r.close(unlink)
 
 
 def spawn_replay_producer(name: str, image_path: str, fps: float = 30.0,
