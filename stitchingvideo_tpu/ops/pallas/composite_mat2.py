@@ -28,10 +28,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .composite import (ALIGN_X, ALIGN_Y, BAND_STEP, P, TILE_H, TILE_W, VXW,
                         WIN_W, TiledLUT, build_tiled_lut)
-from .composite_mat import GPAD, GROUP, _mat_chunk
+from .composite_mat import _mat_chunk
 
 WIN_HH = 80     # hard-class window height (matches composite.WIN_H)
 WIN_HE = 32     # easy-class window height
+# Same GROUP as composite_mat: measured sweeps found GROUP=12 LOSES fps —
+# group-granularity easy classification degrades (one hard tile poisons a
+# bigger group: 642 -> 398 easy groups on the 5-cam synthetic LUT) and the
+# step-count saving does not pay for it. The VXW-wide shift windows still
+# free ~4 MB of VMEM scratch at GROUP=8.
+GROUP = 8
+GPAD = 2 * GROUP
 
 
 @flax.struct.dataclass
@@ -260,6 +267,12 @@ def _mat_chunk_h(xl, yl, win_h):
 
 
 def _make_kernel(win_h: int):
+    """Kernel over 4-shift frame copies: the input is [4, N, 3, H, W] int8
+    where copy k is the frame shifted left by k*BAND_STEP columns. The
+    per-slot band offset (0/32/64/96) selects the COPY instead of a wider
+    DMA window + in-kernel slice — window DMAs shrink from WIN_W=384 to
+    VXW=256 columns (the window stream is the measured bottleneck) and the
+    4-way lax.switch disappears from the inner loop."""
     def _kernel(gid_ref, tile_cam_ref, tile_org_ref, tile_band_ref,
                 vx_ref, vy_ref, gcs_ref, frames_ref, out_ref, win, sem):
         tg = pl.program_id(0)
@@ -273,22 +286,23 @@ def _make_kernel(win_h: int):
         def org(tt, k):
             return tile_org_ref[4 * tt + k]
 
-        def dma(b, g, slot, camv, oy, ox):
+        def dma(b, g, slot, tt, camv, oy, ox):
             oy = pl.multiple_of(oy, ALIGN_Y)
             ox = pl.multiple_of(ox, ALIGN_X)
+            kk = tile_band_ref[2 * tt + slot] // BAND_STEP
             return pltpu.make_async_copy(
-                frames_ref.at[camv, :, pl.ds(oy, win_h), pl.ds(ox, WIN_W)],
+                frames_ref.at[kk, camv, :, pl.ds(oy, win_h), pl.ds(ox, VXW)],
                 win.at[b, g, slot], sem.at[b, g, slot])
 
         def start_group(tgrp, b):
             for g in range(GROUP):
                 tt = tgrp * GROUP + g
                 ca, cb = cams(tt)
-                dma(b, g, 0, ca, org(tt, 0), org(tt, 1)).start()
+                dma(b, g, 0, tt, ca, org(tt, 0), org(tt, 1)).start()
 
                 @pl.when(cb != ca)
                 def _():
-                    dma(b, g, 1, cb, org(tt, 2), org(tt, 3)).start()
+                    dma(b, g, 1, tt, cb, org(tt, 2), org(tt, 3)).start()
 
         @pl.when(tg == 0)
         def _():
@@ -304,12 +318,8 @@ def _make_kernel(win_h: int):
             two = cam_b != cam_a
 
             def slot_val(slot, g=g):
-                full = win[buf, g, slot].reshape(3 * win_h, WIN_W)
-                k = tile_band_ref[2 * tt + slot] // BAND_STEP
-                src = jax.lax.switch(
-                    k, [lambda off=off:
-                        full[:, off:off + VXW].astype(jnp.bfloat16)
-                        for off in range(0, WIN_W - VXW + 1, BAND_STEP)])
+                src = win[buf, g, slot].reshape(3 * win_h, VXW) \
+                    .astype(jnp.bfloat16)
                 vxg = vx_ref[0, g * VXW:(g + 1) * VXW, :].astype(jnp.bfloat16)
                 c_all = jax.lax.dot_general(
                     src, vxg, (((1,), (0,)), ((), ())),
@@ -321,12 +331,12 @@ def _make_kernel(win_h: int):
 
             gc = gcs_ref[0, g, :][None, :]
             sel = gcs_ref[0, GROUP + g, :][None, :]
-            dma(buf, g, 0, cam_a, org(tt, 0), org(tt, 1)).wait()
+            dma(buf, g, 0, tt, cam_a, org(tt, 0), org(tt, 1)).wait()
             acc = slot_val(0) * sel
 
             @pl.when(two)
             def _():
-                dma(buf, g, 1, cam_b, org(tt, 2), org(tt, 3)).wait()
+                dma(buf, g, 1, tt, cam_b, org(tt, 2), org(tt, 3)).wait()
 
             res = jax.lax.cond(
                 two, lambda g=g: acc + slot_val(1, g) * (1.0 - sel),
@@ -359,7 +369,7 @@ def _class_call(planar_i8, cl: ClassLUT, win_h: int, Tg_total: int,
                                lambda t, gid, *_: (0, gid[t], 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, 3, win_h, WIN_W), jnp.int8),
+            pltpu.VMEM((2, GROUP, 2, 3, win_h, VXW), jnp.int8),
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
@@ -435,16 +445,34 @@ def _fallback_values(planar_i8: jnp.ndarray, ml: MatLUT2) -> jnp.ndarray:
     return jnp.where((ml.fb_cam >= 0)[None], vals, 0.0)
 
 
+N_SHIFTS = (WIN_W - VXW) // BAND_STEP + 1     # band offsets 0..128 step 32
+
+
+@jax.jit
+def shift_planar(planar_i8: jnp.ndarray) -> jnp.ndarray:
+    """[N,3,H,W] int8 -> [K,N,3,H,W]: copy k shifted left by k*BAND_STEP
+    columns (zero tail — never read: window builds guarantee
+    ox + band + VXW <= W). Lets the kernel DMA VXW-wide windows whose source
+    start is 128-aligned in the selected copy."""
+    def sh(k):
+        if k == 0:
+            return planar_i8
+        return jnp.pad(planar_i8[..., k * BAND_STEP:],
+                       ((0, 0), (0, 0), (0, 0), (0, k * BAND_STEP)))
+    return jnp.stack([sh(k) for k in range(N_SHIFTS)])
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
                           interpret: bool = False) -> jnp.ndarray:
     Tg = -(-ml.n_tiles // GROUP)
+    frames4 = shift_planar(planar_i8)
     if ml.tg_hard > 0:
-        out = _class_call(planar_i8, ml.hard, WIN_HH, Tg, None, interpret)
+        out = _class_call(frames4, ml.hard, WIN_HH, Tg, None, interpret)
         if ml.tg_easy > 0:
-            out = _class_call(planar_i8, ml.easy, WIN_HE, Tg, out, interpret)
+            out = _class_call(frames4, ml.easy, WIN_HE, Tg, out, interpret)
     else:
-        out = _class_call(planar_i8, ml.easy, WIN_HE, Tg, None, interpret)
+        out = _class_call(frames4, ml.easy, WIN_HE, Tg, None, interpret)
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw

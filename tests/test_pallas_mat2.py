@@ -17,7 +17,8 @@ def test_composite_mat2_matches_gather(rng):
     ref = np.asarray(composite_frame_u8(frames, lut)).astype(np.int32)
     ml = build_mat2_lut(lut, (128, 512))
     assert int(ml.n_fallback) == 0
-    assert ml.tg_easy + ml.tg_hard == -(-ml.n_tiles // 8)
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import GROUP as G2
+    assert ml.tg_easy + ml.tg_hard == -(-ml.n_tiles // G2)
     out = composite_mat2_planar(frames_to_planar_i8(frames), ml, interpret=True)
     hwc = np.asarray(out).transpose(1, 2, 0).astype(np.int32)
     diff = np.abs(hwc - ref)
