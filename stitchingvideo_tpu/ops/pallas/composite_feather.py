@@ -359,22 +359,25 @@ def _fkernel(tile_cam_ref, tile_org_ref, tile_band_ref,
     def org(tt, k):
         return tile_org_ref[4 * tt + k]
 
-    def dma(b, g, slot, camv, oy, ox):
+    def dma(b, g, slot, tt, camv, oy, ox):
+        # band offset selects a pre-shifted frame copy (see composite_mat2.
+        # shift_planar) — windows are VXW wide, no in-kernel band slice
         oy = pl.multiple_of(oy, ALIGN_Y)
         ox = pl.multiple_of(ox, ALIGN_X)
+        kk = tile_band_ref[2 * tt + slot] // BAND_STEP
         return pltpu.make_async_copy(
-            frames_ref.at[camv, :, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
+            frames_ref.at[kk, camv, :, pl.ds(oy, WIN_H), pl.ds(ox, VXW)],
             win.at[b, g, slot], sem.at[b, g, slot])
 
     def start_group(tgrp, b):
         for g in range(GROUP):
             tt = tgrp * GROUP + g
             ca, cb = cams(tt)
-            dma(b, g, 0, ca, org(tt, 0), org(tt, 1)).start()
+            dma(b, g, 0, tt, ca, org(tt, 0), org(tt, 1)).start()
 
             @pl.when(cb != ca)
             def _():
-                dma(b, g, 1, cb, org(tt, 2), org(tt, 3)).start()
+                dma(b, g, 1, tt, cb, org(tt, 2), org(tt, 3)).start()
 
     @pl.when(tg == 0)
     def _():
@@ -390,12 +393,8 @@ def _fkernel(tile_cam_ref, tile_org_ref, tile_band_ref,
         two = cam_b != cam_a
 
         def slot_val(slot, g=g):
-            full = win[buf, g, slot].reshape(3 * WIN_H, WIN_W)
-            k = tile_band_ref[2 * tt + slot] // BAND_STEP
-            src = jax.lax.switch(
-                k, [lambda off=off:
-                    full[:, off:off + VXW].astype(jnp.bfloat16)
-                    for off in range(0, WIN_W - VXW + 1, BAND_STEP)])
+            src = win[buf, g, slot].reshape(3 * WIN_H, VXW) \
+                .astype(jnp.bfloat16)
             r = 2 * g + slot
             vxg = vx_ref[0, r * VXW:(r + 1) * VXW, :].astype(jnp.bfloat16)
             c_all = jax.lax.dot_general(
@@ -408,12 +407,12 @@ def _fkernel(tile_cam_ref, tile_org_ref, tile_band_ref,
 
         gw0 = gws_ref[0, g, :][None, :]
         gw1 = gws_ref[0, GROUP + g, :][None, :]
-        dma(buf, g, 0, cam_a, org(tt, 0), org(tt, 1)).wait()
+        dma(buf, g, 0, tt, cam_a, org(tt, 0), org(tt, 1)).wait()
         acc = slot_val(0) * gw0
 
         @pl.when(two)
         def _():
-            dma(buf, g, 1, cam_b, org(tt, 2), org(tt, 3)).wait()
+            dma(buf, g, 1, tt, cam_b, org(tt, 2), org(tt, 3)).wait()
 
         res = jax.lax.cond(two, lambda g=g: acc + slot_val(1, g) * gw1,
                            lambda: acc)
@@ -467,10 +466,11 @@ def composite_feather_planar(planar_i8: jnp.ndarray, ml: FeatherMatLUT,
         out_specs=pl.BlockSpec((3, 1, GPAD, P), lambda t, *_: (0, t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, 2, 3, WIN_H, WIN_W), jnp.int8),
+            pltpu.VMEM((2, GROUP, 2, 3, WIN_H, VXW), jnp.int8),
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
+    from .composite_mat2 import shift_planar
     out = pl.pallas_call(
         _fkernel,
         out_shape=jax.ShapeDtypeStruct((3, Tg, GPAD, P), jnp.float32),
@@ -478,7 +478,8 @@ def composite_feather_planar(planar_i8: jnp.ndarray, ml: FeatherMatLUT,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(ml.tile_cam, ml.tile_org, ml.tile_band, ml.vx, ml.vy, ml.gws, planar_i8)
+    )(ml.tile_cam, ml.tile_org, ml.tile_band, ml.vx, ml.vy, ml.gws,
+      shift_planar(planar_i8))
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw

@@ -47,6 +47,24 @@ def test_stitch_synthetic(blend, seam):
     assert pano[mask].mean() > 30
 
 
+def test_stitch_mixed_resolution_cameras():
+    """Cameras with different resolutions go through the per-camera seam
+    path (no batched warp) and must still stitch (reference CLI accepts
+    arbitrary image sizes, stitching_detailed.cpp:359-409)."""
+    views, K, Rs, f, tex = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=5)
+    # downscale the middle camera 25% — a mixed-resolution rig
+    views = list(views)
+    views[1] = cv2.resize(views[1], (384, 288),
+                          interpolation=cv2.INTER_AREA)
+    cfg = _cfg(warp_type="cylindrical", blend_type="feather",
+               seam_find="voronoi", expos_comp="no", faithful=False)
+    st = Stitcher(cfg)
+    pano, mask = st.stitch(views)
+    assert pano.shape[1] > 600 and mask.mean() > 0.4
+    assert pano[mask].mean() > 30
+
+
 def test_stitch_exposure_compensation():
     """Brightness-offset views -> gains equalize the output overlap."""
     views, K, Rs, f, tex = synthetic.make_scene(
