@@ -42,6 +42,43 @@ def _feed_bands(img16: jnp.ndarray, w16: jnp.ndarray, bands: int):
     return acc, wp
 
 
+@partial(jax.jit, static_argnames=("bands",), donate_argnums=(0, 1))
+def _feed_accum(dst_l, dst_w, img_b16, w_b16, offs, bands):
+    """Compute one image's bands and accumulate into the device-resident
+    pyramids in place (donated). offs[i] = (y_tl >> i, x_tl >> i) — the
+    per-level sub-ROI origin; sizes are static per image shape. Keeping the
+    accumulators in HBM removes the ~300 MB/image of pyramid round trips the
+    host-numpy accumulation paid over the TPU relay."""
+    acc, wp = _feed_bands(img_b16.astype(jnp.int32), w_b16.astype(jnp.int32),
+                          bands)
+    new_l, new_w = [], []
+    for i in range(bands + 1):
+        oy, ox = offs[i, 0], offs[i, 1]
+        hh, ww = acc[i].shape[:2]
+        cur = jax.lax.dynamic_slice(dst_l[i], (oy, ox, jnp.int32(0)),
+                                    (hh, ww, 3))
+        new_l.append(jax.lax.dynamic_update_slice(
+            dst_l[i], cur + acc[i], (oy, ox, jnp.int32(0))))
+        curw = jax.lax.dynamic_slice(dst_w[i], (oy, ox), (hh, ww))
+        new_w.append(jax.lax.dynamic_update_slice(
+            dst_w[i], curw + wp[i], (oy, ox)))
+    return tuple(new_l), tuple(new_w)
+
+
+@partial(jax.jit, static_argnames=("fh", "fw"))
+def _blend_final(dst_l, dst_w, fh, fw):
+    """Normalize all bands, collapse the pyramid, crop, zero-fill — one
+    device program, one int16 fetch."""
+    norm = [_normalize_band(b, w) for b, w in zip(dst_l, dst_w)]
+    img = norm[-1]
+    for lvl in reversed(norm[:-1]):
+        img = pyr_up_i16(img) + lvl
+    pano = img[:fh, :fw]
+    mask = dst_w[0][:fh, :fw] > 0
+    pano = jnp.where(mask[..., None], pano, 0)
+    return pano.astype(jnp.int16), mask
+
+
 @jax.jit
 def _normalize_band(band: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """(v << 8) / (w + 1) with C-style truncation toward zero."""
@@ -70,23 +107,22 @@ class MultiBandBlenderCV:
         h += (q - h % q) % q
         self.roi = (x, y, w, h)
         nb = self.num_bands
-        self.dst_laplace: List[np.ndarray] = []
-        self.dst_weights: List[np.ndarray] = []
+        # device-resident accumulators (see _feed_accum)
+        self.dst_laplace: List[jnp.ndarray] = []
+        self.dst_weights: List[jnp.ndarray] = []
         hh, ww = h, w
         for _ in range(nb + 1):
-            self.dst_laplace.append(np.zeros((hh, ww, 3), np.int32))
-            self.dst_weights.append(np.zeros((hh, ww), np.int32))
+            self.dst_laplace.append(jnp.zeros((hh, ww, 3), jnp.int32))
+            self.dst_weights.append(jnp.zeros((hh, ww), jnp.int32))
             hh, ww = (hh + 1) // 2, (ww + 1) // 2
 
     # ------------------------------------------------------------------
-    def feed(self, img: np.ndarray, mask: np.ndarray,
-             tl: Tuple[int, int]) -> None:
-        """img: [h, w, 3] int16-valued (CV_16S), mask: [h, w] uint8,
-        tl: (x, y) panorama coordinates of the image rect."""
+    def _sub_roi(self, tl: Tuple[int, int], h: int, w: int):
+        """feed's sub-ROI bookkeeping (blenders.cpp:250-270): border pads +
+        per-level accumulator origins for an image rect at tl of size h x w."""
         nb = self.num_bands
         rx, ry, rw, rh = self.roi
         brx_roi, bry_roi = rx + rw, ry + rh
-        h, w = img.shape[:2]
         gap = 3 * (1 << nb)
 
         tlx = max(rx, tl[0] - gap)
@@ -107,44 +143,52 @@ class MultiBandBlenderCV:
         tlx -= dx; brx -= dx
         tly -= dy; bry -= dy
 
-        top = tl[1] - tly
-        left = tl[0] - tlx
-        bottom = bry - tl[1] - h
-        right = brx - tl[0] - w
+        pads = (tl[1] - tly, tl[0] - tlx, bry - tl[1] - h, brx - tl[0] - w)
+        offs = np.array([[(tly - ry) >> i, (tlx - rx) >> i]
+                         for i in range(nb + 1)], np.int32)
+        return pads, offs
 
-        img_b = np.pad(img.astype(np.int32),
+    def feed(self, img: np.ndarray, mask: np.ndarray,
+             tl: Tuple[int, int]) -> None:
+        """img: [h, w, 3] int16-valued (CV_16S), mask: [h, w] uint8,
+        tl: (x, y) panorama coordinates of the image rect."""
+        h, w = img.shape[:2]
+        (top, left, bottom, right), offs = self._sub_roi(tl, h, w)
+        img_b = np.pad(img.astype(np.int16),
                        ((top, bottom), (left, right), (0, 0)),
                        mode="symmetric")          # BORDER_REFLECT
-        weight = mask.astype(np.int32)
+        weight = mask.astype(np.int16)
         weight[mask != 0] += 1                     # 255 -> 256
         w_b = np.pad(weight, ((top, bottom), (left, right)),
                      mode="constant")
+        self.dst_laplace, self.dst_weights = [
+            list(t) for t in _feed_accum(
+                tuple(self.dst_laplace), tuple(self.dst_weights),
+                jnp.asarray(img_b), jnp.asarray(w_b), jnp.asarray(offs),
+                self.num_bands)]
 
-        acc, wp = _feed_bands(jnp.asarray(img_b), jnp.asarray(w_b), nb)
-
-        y_tl, y_br = tly - ry, bry - ry
-        x_tl, x_br = tlx - rx, brx - rx
-        for i in range(nb + 1):
-            hh, ww = y_br - y_tl, x_br - x_tl
-            self.dst_laplace[i][y_tl:y_br, x_tl:x_br] += \
-                np.asarray(acc[i])[:hh, :ww]
-            self.dst_weights[i][y_tl:y_br, x_tl:x_br] += \
-                np.asarray(wp[i])[:hh, :ww]
-            y_tl //= 2; y_br //= 2
-            x_tl //= 2; x_br //= 2
+    def feed_dev(self, img_dev, mask_dev, tl: Tuple[int, int]) -> None:
+        """Device-resident feed: img [h,w,3] int16 and mask [h,w] uint8 are
+        jax arrays in HBM — border pads, weighting, pyramids, and
+        accumulation all run on device (zero per-image host transfers)."""
+        h, w = img_dev.shape[:2]
+        (top, left, bottom, right), offs = self._sub_roi(tl, h, w)
+        img_b = jnp.pad(img_dev.astype(jnp.int16),
+                        ((top, bottom), (left, right), (0, 0)),
+                        mode="symmetric")
+        weight = mask_dev.astype(jnp.int16)
+        weight = jnp.where(mask_dev != 0, weight + 1, weight)
+        w_b = jnp.pad(weight, ((top, bottom), (left, right)),
+                      mode="constant")
+        self.dst_laplace, self.dst_weights = [
+            list(t) for t in _feed_accum(
+                tuple(self.dst_laplace), tuple(self.dst_weights),
+                img_b, w_b, jnp.asarray(offs), self.num_bands)]
 
     # ------------------------------------------------------------------
     def blend(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (panorama int16-valued int32 [H, W, 3], mask bool)."""
-        nb = self.num_bands
-        norm = [np.asarray(_normalize_band(jnp.asarray(b), jnp.asarray(w)))
-                for b, w in zip(self.dst_laplace, self.dst_weights)]
-        img = jnp.asarray(norm[-1])
-        for lvl in reversed(norm[:-1]):
-            img = pyr_up_i16(img) + jnp.asarray(lvl)
-        pano = np.array(img)
+        """Returns (panorama int16-valued [H, W, 3], mask bool)."""
         _, _, fw, fh = self.final_roi
-        pano = pano[:fh, :fw]
-        mask = self.dst_weights[0][:fh, :fw] > 0
-        pano[~mask] = 0                            # Blender::blend zero-fill
-        return pano, mask
+        pano, mask = _blend_final(tuple(self.dst_laplace),
+                                  tuple(self.dst_weights), fh, fw)
+        return np.asarray(pano).astype(np.int32), np.asarray(mask)

@@ -58,13 +58,12 @@ def _resize_u8(img: np.ndarray, scale: float) -> np.ndarray:
     return np.stack(chans, -1).astype(np.uint8)
 
 
-def _warp_image(img: np.ndarray, kind: str, scale: float, K: np.ndarray,
-                R: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
-    """warper->warp parity: returns (warped uint8, mask 0/255, corner).
-
-    Image remap INTER_LINEAR/BORDER_REFLECT, mask NEAREST/CONSTANT over the
-    exact detectResultRoi rect (warpers_inl.hpp:63-99, CLI :710-716).
-    """
+def _warp_image_dev(img: np.ndarray, kind: str, scale: float, K: np.ndarray,
+                    R: np.ndarray):
+    """warper->warp parity, device-resident: (warped u8 dev, mask u8 dev,
+    corner). Image remap INTER_LINEAR/BORDER_REFLECT, mask NEAREST/CONSTANT
+    over the exact detectResultRoi rect (warpers_inl.hpp:63-99, CLI
+    :710-716)."""
     h, w = img.shape[:2]
     tlx, tly, brx, bry = detect_result_roi(kind, scale, K, R, (w, h))
     shape = (bry - tly + 1, brx - tlx + 1)
@@ -76,10 +75,18 @@ def _warp_image(img: np.ndarray, kind: str, scale: float, K: np.ndarray,
                    interp="linear", border="reflect")
     ones = jnp.ones((h, w), jnp.float32)
     m = remap(ones, xm, ym, interp="nearest", border="constant")
-    mask = (np.asarray((m > 0) & valid)).astype(np.uint8) * 255
-    warped_u8 = np.asarray(jnp.clip(jnp.rint(warped), 0, 255)).astype(np.uint8)
-    warped_u8[mask == 0] = 0
+    mask = ((m > 0) & valid).astype(jnp.uint8) * 255
+    warped_u8 = jnp.where((mask > 0)[..., None],
+                          jnp.clip(jnp.round(warped), 0, 255), 0) \
+        .astype(jnp.uint8)
     return warped_u8, mask, (tlx, tly)
+
+
+def _warp_image(img: np.ndarray, kind: str, scale: float, K: np.ndarray,
+                R: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int, int]]:
+    """Host-array variant of _warp_image_dev (seam-scale stage)."""
+    wd, md, corner = _warp_image_dev(img, kind, scale, K, R)
+    return np.asarray(wd), np.asarray(md), corner
 
 
 def compose_panorama_cv(images: Sequence[np.ndarray], cams: Cameras,
@@ -177,34 +184,39 @@ def compose_panorama_cv(images: Sequence[np.ndarray], cams: Cameras,
                     (seam_canvas[i, y:y + hh, x:x + ww].astype(np.uint8) * 255))
 
     # ---- compose loop at full/compose scale (CLI :656-753) ----
+    # Device-resident: warped images, gain application, seam-mask resizes,
+    # CV_16S conversion, and the blender feed never leave HBM (the host-
+    # array version of this loop paid ~40 s of relay transfers per stitch).
     with _tracer.span("compositing"):
+        from ..photometric.exposure_cv import _resize_linear_dev
         c_scale = warped_image_scale * compose_work_aspect
         c_corners: List[Tuple[int, int]] = []
         c_sizes: List[Tuple[int, int]] = []
-        warped_s16: List[np.ndarray] = []
-        fed_masks: List[np.ndarray] = []
+        warped_s16: List[jnp.ndarray] = []
+        fed_masks: List[jnp.ndarray] = []
         for i in range(n):
             img_c = _resize_u8(images[i], compose_scale)
             K = np.asarray(cams.K()[i]).astype(np.float64)
             K[0] *= compose_work_aspect
             K[1] *= compose_work_aspect
-            img_w, mask_w, corner = _warp_image(img_c, kind, c_scale, K,
-                                                np.asarray(cams.R[i]))
+            img_w, mask_w, corner = _warp_image_dev(img_c, kind, c_scale, K,
+                                                    np.asarray(cams.R[i]))
             if comp is not None:
-                img_w = comp.apply(i, img_w)
+                img_w = comp.apply_dev(i, img_w)
             elif gains1 is not None:
-                img_w = np.clip(np.rint(img_w.astype(np.float32) *
-                                        float(gains1[i])), 0, 255
-                                ).astype(np.uint8)
+                img_w = jnp.clip(jnp.round(img_w.astype(jnp.float32) *
+                                           float(gains1[i])), 0, 255
+                                 ).astype(jnp.uint8)
             # dilate + resize the seam mask, AND with warp mask (CLI :726-728)
             sm = _dilate3(seam_masks[i])
             hh, ww = mask_w.shape
-            sm_r = np.clip(np.rint(_resize_linear(
-                sm.astype(np.float32), hh, ww)), 0, 255).astype(np.uint8)
-            fed = np.where(mask_w > 0, sm_r, 0).astype(np.uint8)
+            sm_r = jnp.clip(jnp.round(_resize_linear_dev(
+                jnp.asarray(sm, jnp.float32), hh, ww)), 0,
+                255).astype(jnp.uint8)
+            fed = jnp.where(mask_w > 0, sm_r, 0).astype(jnp.uint8)
             c_corners.append(corner)
             c_sizes.append((ww, hh))
-            warped_s16.append(img_w.astype(np.int16))
+            warped_s16.append(img_w.astype(jnp.int16))
             fed_masks.append(fed)
 
         # result ROI over compose corners/sizes (util.cpp resultRoi)
@@ -224,7 +236,7 @@ def compose_panorama_cv(images: Sequence[np.ndarray], cams: Cameras,
             mb = MultiBandBlenderCV(bands)
             mb.prepare((x0, y0, x1 - x0, y1 - y0))
             for i in range(n):
-                mb.feed(warped_s16[i], fed_masks[i], c_corners[i])
+                mb.feed_dev(warped_s16[i], fed_masks[i], c_corners[i])
             pano16, mask = mb.blend()
             pano = np.clip(pano16, 0, 255).astype(np.uint8)
             return pano, mask
@@ -236,8 +248,8 @@ def compose_panorama_cv(images: Sequence[np.ndarray], cams: Cameras,
         for i in range(n):
             y, x = c_corners[i][1] - y0, c_corners[i][0] - x0
             ww, hh = c_sizes[i]
-            imgs_c[i, y:y + hh, x:x + ww] = warped_s16[i]
-            seams_c[i, y:y + hh, x:x + ww] = fed_masks[i] > 0
+            imgs_c[i, y:y + hh, x:x + ww] = np.asarray(warped_s16[i])
+            seams_c[i, y:y + hh, x:x + ww] = np.asarray(fed_masks[i]) > 0
         if bt == "feather":
             wgt = feather_weights(jnp.asarray(seams_c),
                                   cfg.compose.feather_sharpness)

@@ -187,8 +187,47 @@ class BlocksGainCompensatorCV:
         out = image.astype(np.float32) * g[..., None]
         return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
+    def apply_dev(self, index: int, image_dev):
+        """Device variant of apply(): image stays in HBM (uint8 in/out).
+
+        Same math as the host path (resize-grid bilinear + rint) with f32
+        device arithmetic — used by the device-resident compose loop."""
+        import jax.numpy as jnp
+        g = jnp.asarray(self.gain_maps[index])
+        h, w = image_dev.shape[:2]
+        if g.shape != (h, w):
+            g = _resize_linear_dev(g, h, w)
+        out = image_dev.astype(jnp.float32) * g[..., None]
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
     def gain_grid(self, index: int) -> np.ndarray:
         return self.gain_maps[index]
+
+
+def _resample_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] separable INTER_LINEAR weights (half-pixel centers,
+    edge clamp). Two taps per row; clamped duplicate taps accumulate, so
+    the matrix product is bitwise-equivalent to the per-tap formulation
+    (two-term f32 adds are commutative)."""
+    s = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    i0 = np.floor(s).astype(np.int64)
+    f = (s - i0).astype(np.float32)
+    M = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(M, (rows, np.clip(i0, 0, n_in - 1)), 1.0 - f)
+    np.add.at(M, (rows, np.clip(i0 + 1, 0, n_in - 1)), f)
+    return M
+
+
+def _resize_linear_dev(g, h: int, w: int):
+    """Device mirror of _resize_linear (cv::resize INTER_LINEAR) as two
+    resampling-matrix matmuls — MXU-fast where the per-tap gather
+    formulation is scalar-issue on TPU."""
+    import jax.numpy as jnp
+    gh, gw = g.shape
+    Wy = jnp.asarray(_resample_matrix(h, gh))
+    Wx = jnp.asarray(_resample_matrix(w, gw))
+    return (Wy @ g) @ Wx.T
 
 
 def _resize_linear(g: np.ndarray, h: int, w: int) -> np.ndarray:
