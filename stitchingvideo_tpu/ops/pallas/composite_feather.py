@@ -40,8 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .composite import (ALIGN_X, ALIGN_Y, BAND_STEP, P, TILE_H, TILE_W, VXW,
                         WIN_H, WIN_W)
-from .composite_mat import GPAD, GROUP
-from .composite_mat2 import FB_BUCKET, _mat_chunk_h
+from .composite_mat2 import FB_BUCKET, GPAD, GROUP, _mat_chunk_h
 
 
 @flax.struct.dataclass

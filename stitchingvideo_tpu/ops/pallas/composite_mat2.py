@@ -267,12 +267,12 @@ def _mat_chunk_h(xl, yl, win_h):
 
 
 def _make_kernel(win_h: int):
-    """Kernel over 4-shift frame copies: the input is [4, N, 3, H, W] int8
-    where copy k is the frame shifted left by k*BAND_STEP columns. The
-    per-slot band offset (0/32/64/96) selects the COPY instead of a wider
-    DMA window + in-kernel slice — window DMAs shrink from WIN_W=384 to
-    VXW=256 columns (the window stream is the measured bottleneck) and the
-    4-way lax.switch disappears from the inner loop."""
+    """Kernel over shifted frame copies: the input is [N_SHIFTS=5, N, 3, H,
+    W] int8 where copy k is the frame shifted left by k*BAND_STEP columns.
+    The per-slot band offset (0/32/64/96/128) selects the COPY instead of a
+    wider DMA window + in-kernel slice — window DMAs shrink from WIN_W=384
+    to VXW=256 columns and the 5-way lax.switch disappears from the inner
+    loop."""
     def _kernel(gid_ref, tile_cam_ref, tile_org_ref, tile_band_ref,
                 vx_ref, vy_ref, gcs_ref, frames_ref, out_ref, win, sem):
         tg = pl.program_id(0)
@@ -466,13 +466,13 @@ def shift_planar(planar_i8: jnp.ndarray) -> jnp.ndarray:
 def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
                           interpret: bool = False) -> jnp.ndarray:
     Tg = -(-ml.n_tiles // GROUP)
-    frames4 = shift_planar(planar_i8)
+    frames_sh = shift_planar(planar_i8)
     if ml.tg_hard > 0:
-        out = _class_call(frames4, ml.hard, WIN_HH, Tg, None, interpret)
+        out = _class_call(frames_sh, ml.hard, WIN_HH, Tg, None, interpret)
         if ml.tg_easy > 0:
-            out = _class_call(frames4, ml.easy, WIN_HE, Tg, out, interpret)
+            out = _class_call(frames_sh, ml.easy, WIN_HE, Tg, out, interpret)
     else:
-        out = _class_call(frames4, ml.easy, WIN_HE, Tg, None, interpret)
+        out = _class_call(frames_sh, ml.easy, WIN_HE, Tg, None, interpret)
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw

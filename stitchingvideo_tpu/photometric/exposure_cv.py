@@ -204,11 +204,17 @@ class BlocksGainCompensatorCV:
         return self.gain_maps[index]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _resample_matrix(n_out: int, n_in: int) -> np.ndarray:
     """[n_out, n_in] separable INTER_LINEAR weights (half-pixel centers,
-    edge clamp). Two taps per row; clamped duplicate taps accumulate, so
-    the matrix product is bitwise-equivalent to the per-tap formulation
-    (two-term f32 adds are commutative)."""
+    edge clamp). Two taps per row; clamped duplicate taps accumulate, so a
+    full-precision matrix product applies exactly the per-tap weights (the
+    y-then-x association can differ from the 4-term host formulation in the
+    last f32 ulp). Cached per shape — the still compose calls this with the
+    same handful of shapes every stitch."""
     s = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
     i0 = np.floor(s).astype(np.int64)
     f = (s - i0).astype(np.float32)
@@ -216,18 +222,23 @@ def _resample_matrix(n_out: int, n_in: int) -> np.ndarray:
     rows = np.arange(n_out)
     np.add.at(M, (rows, np.clip(i0, 0, n_in - 1)), 1.0 - f)
     np.add.at(M, (rows, np.clip(i0 + 1, 0, n_in - 1)), f)
+    M.setflags(write=False)
     return M
 
 
 def _resize_linear_dev(g, h: int, w: int):
     """Device mirror of _resize_linear (cv::resize INTER_LINEAR) as two
     resampling-matrix matmuls — MXU-fast where the per-tap gather
-    formulation is scalar-issue on TPU."""
+    formulation is scalar-issue on TPU. Precision.HIGHEST: the default TPU
+    matmul precision is bf16 passes, which would perturb the parity-gated
+    gain/seam values by ~1/255 (same convention as ops/homography.py)."""
+    import jax
     import jax.numpy as jnp
     gh, gw = g.shape
     Wy = jnp.asarray(_resample_matrix(h, gh))
     Wx = jnp.asarray(_resample_matrix(w, gw))
-    return (Wy @ g) @ Wx.T
+    mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(mm(Wy, g), Wx.T)
 
 
 def _resize_linear(g: np.ndarray, h: int, w: int) -> np.ndarray:
