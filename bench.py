@@ -165,7 +165,8 @@ def main():
         for b in batches:                     # warmup (compiles/traces here)
             np.asarray(step_fn(b, st))
         t0 = time.perf_counter()
-        sums = [tuple(np.asarray(step_fn(batches[i % 4], st)).ravel().tolist())
+        sums = [tuple(np.asarray(step_fn(batches[i % len(batches)], st))
+                      .ravel().tolist())
                 for i in range(iters)]
         dt = (time.perf_counter() - t0) / (iters * B)
         flat = [v for t in sums for v in t]
@@ -233,6 +234,41 @@ def main():
                     run_timing(step_f, fml, batches, B, iters=4), 2)
         except Exception as e:
             result["feather_error"] = repr(e)[:200]
+
+    # multiband video mode (true Laplacian blending per frame). The feather
+    # state (~5 GB of per-slot weights), the mat2 state (~2.4 GB) and the
+    # int8 fps batches (~2.4 GB) must be freed first — all three plus the
+    # multiband pyramids exceed HBM.
+    if reg_state is not None and path == "pallas_mat2_real_reg":
+        try:
+            vs._ftlut = None
+            vs._tlut = None
+            fml = None
+            state = reg_state = None
+            batches = None
+            if vs.build_multiband_state((fh, fw)):
+                from stitchingvideo_tpu.blend.multiband_video import \
+                    multiband_video_frame as _mbf
+                stmb, crop_yx = vs._mbtlut
+                # planar bf16 frame batches (layout-safe kernel input; see
+                # multiband_video.to_planar_bf16)
+                Bm = 4
+                mb_batches = [jax.device_put(jnp.asarray(
+                    rng.integers(0, 255, (Bm, n, 3, fh, fw)).astype(np.float32)
+                    ).astype(jnp.bfloat16))
+                    for _ in range(2)]
+
+                @jax.jit
+                def step_m(fb, s):
+                    outs = jax.lax.map(
+                        lambda f: _mbf(f, s, crop_yx=crop_yx), fb)
+                    return outs[:, :, 301, ::401].astype(jnp.int32) \
+                        .sum(axis=(1, 2))
+
+                result["multiband_fps"] = round(
+                    run_timing(step_m, stmb, mb_batches, Bm, iters=2), 2)
+        except Exception as e:
+            result["multiband_error"] = repr(e)[:200]
     print(json.dumps(result))
 
 

@@ -248,9 +248,22 @@ def _kernel(tile_cam_ref, tile_org_ref,   # scalar prefetch (SMEM, flat)
 @partial(jax.jit, static_argnames=("interpret",))
 def composite_tiled(frames: jnp.ndarray, tlut: TiledLUT,
                     interpret: bool = False) -> jnp.ndarray:
-    """[N, H, W, 3] uint8 frames -> [Hp, Wp, 3] uint8 panorama."""
-    n, H, W, _ = frames.shape
+    """[N, H, W, 3] uint8 frames -> [Hp, Wp, 3] uint8 panorama.
+
+    NOTE: when nesting this whole computation inside a larger jit, XLA can
+    fuse the HWC->planar transpose into a non-default LAYOUT on the pallas
+    operand, which Mosaic mis-verifies as a DMA shape mismatch. Nested
+    callers must pass pre-planarized frames through a jit boundary and use
+    `composite_tiled_planar` instead (layouts are default at boundaries).
+    """
     planar = frames.transpose(0, 3, 1, 2).astype(jnp.bfloat16)  # [N,3,H,W]
+    return composite_tiled_planar(planar, tlut, interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def composite_tiled_planar(planar: jnp.ndarray, tlut: TiledLUT,
+                           interpret: bool = False) -> jnp.ndarray:
+    """[N, 3, H, W] bfloat16 planar frames -> [Hp, Wp, 3] uint8 panorama."""
     T = tlut.sx.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

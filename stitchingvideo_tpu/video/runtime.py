@@ -91,6 +91,7 @@ class VideoStitcher:
         self._lut: Optional[CompositeLUT] = None
         self._tlut = None                  # Pallas tiled LUT (fast path)
         self._ftlut = None                 # feather hot-loop state
+        self._mbtlut = None                # multiband hot-loop state
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
         self._und_maps = None              # (xmap, ymap) full-res undistort
@@ -161,6 +162,37 @@ class VideoStitcher:
             # feather is a hot-loop mode: build its dual-slot kernel state
             # eagerly so the first frame is already fast
             self.build_feather_state(frame_hw)
+        if self.cfg.video.compose_mode == "multiband" and reg is not None:
+            self.build_multiband_state(frame_hw)
+
+    def build_multiband_state(self, frame_hw) -> bool:
+        """Build + swap the multiband video state (per-camera Pallas warp
+        LUTs + cached mask pyramids). Returns True when live; the full
+        XLA blend path remains the fallback."""
+        from ..utils.timing import GLOBAL_TRACER as _tracer
+        with self._lock:
+            reg = self._reg
+        if reg is None:
+            return False
+        with _tracer.span("multiband_state_build"):
+            try:
+                from ..blend.multiband_video import build_multiband_state
+                CW, CH = reg.canvas_wh
+                st, crop_yx = build_multiband_state(
+                    reg, tuple(frame_hw),
+                    self.cfg.compose.blend_strength,
+                    crop=self._crop_slices((CH, CW)))
+                with self._lock:
+                    self._mbtlut = (st, crop_yx)
+                return True
+            except Exception:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "multiband video state build failed; using the full "
+                    "blend path", exc_info=True)
+                with self._lock:
+                    self._mbtlut = None
+                return False
 
     def build_feather_state(self, frame_hw) -> bool:
         """Build + swap the feather hot-loop kernel from the last
@@ -333,6 +365,19 @@ class VideoStitcher:
                 from ..ops.pallas.composite_mat import planar_to_hwc
                 out = self.composite_feather_planar(
                     jnp.asarray(np.stack(frames)))
+                return np.asarray(planar_to_hwc(out))
+        if mode == "multiband":
+            with self._lock:
+                mbt = self._mbtlut
+            if mbt is not None:
+                from ..blend.multiband_video import (multiband_video_frame,
+                                                     to_planar_bf16)
+                from ..ops.pallas.composite_mat import planar_to_hwc
+                st, crop_yx = mbt
+                interpret = jax.default_backend() != "tpu"
+                planar = to_planar_bf16(jnp.asarray(np.stack(frames)))
+                out = multiband_video_frame(planar, st, crop_yx=crop_yx,
+                                            interpret=interpret)
                 return np.asarray(planar_to_hwc(out))
         return self._composite_blend(frames, mode)
 

@@ -1,0 +1,68 @@
+"""Multiband video hot path: registration-cached state vs the full blend."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+def test_pyramid_planar_matches_hwc():
+    """The planar shifted-add pyramids equal the HWC depthwise-conv ones."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.ops import pyramid as pyr
+    from stitchingvideo_tpu.ops import pyramid_planar as ppyr
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 255, (64, 96, 3)).astype(np.float32)
+    xp = jnp.asarray(x.transpose(2, 0, 1))
+    np.testing.assert_allclose(
+        np.asarray(ppyr.pyr_down_p(xp)).transpose(1, 2, 0),
+        np.asarray(pyr.pyr_down(jnp.asarray(x))), atol=1e-3)
+    small = x[::2, ::2]
+    np.testing.assert_allclose(
+        np.asarray(ppyr.pyr_up_p(jnp.asarray(small.transpose(2, 0, 1))))
+        .transpose(1, 2, 0),
+        np.asarray(pyr.pyr_up(jnp.asarray(small))), atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def scene_mb():
+    from stitchingvideo_tpu.config import StitchConfig
+    from stitchingvideo_tpu.utils import synthetic
+    from stitchingvideo_tpu.video.runtime import VideoStitcher
+    views, *_ = synthetic.make_scene(n=3, img_wh=(512, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=7)
+    cfg = StitchConfig()
+    cfg = cfg.replace(
+        compose=dataclasses.replace(cfg.compose, warp_type="cylindrical",
+                                    blend_type="no", seam_find="voronoi",
+                                    expos_comp="gain"),
+        video=dataclasses.replace(cfg.video, compose_mode="multiband",
+                                  reregister_seconds=3600.0))
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    return vs, views
+
+
+def test_multiband_video_hot_path(scene_mb):
+    """The cached-state multiband frame path matches the full XLA multiband
+    blend (same normalized-convolution formulation; warps differ only by the
+    Pallas kernel's u8 rounding)."""
+    vs, views = scene_mb
+    assert vs._mbtlut is not None
+    pano_hot = vs.composite(list(views))
+    pano_full = vs._composite_blend(list(views), "multiband")
+    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2])
+    pano_full = pano_full[y0:y1, x0:x1]
+    assert pano_hot.shape == pano_full.shape
+    cov = (pano_full.sum(-1) > 0) & (pano_hot.sum(-1) > 0)
+    d = np.abs(pano_hot.astype(np.int16) - pano_full.astype(np.int16))[cov]
+    assert np.median(d) <= 1
+    assert (d <= 6).mean() > 0.99, (np.median(d), (d <= 6).mean(), d.max())
+
+
+def test_multiband_video_rereg_keeps_working(scene_mb):
+    """Re-registration rebuilds the cached state and the path stays live."""
+    vs, views = scene_mb
+    vs.register(list(views), seed=1)
+    assert vs._mbtlut is not None
+    pano = vs.composite(list(views))
+    assert pano.dtype == np.uint8 and (pano.sum(-1) > 0).mean() > 0.3
