@@ -77,6 +77,14 @@ def enable_compilation_cache(path: str = "") -> None:
     env = _os.environ.get("STITCH_JAX_CACHE", "")
     if env == "0":
         return
+    try:
+        # CPU artifacts are AOT-compiled for the build machine's exact
+        # feature set and can SIGILL elsewhere; the cache's value is the
+        # remote-TPU compiles, so only enable it there
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
+        return
     cache = path or env or _os.path.expanduser(
         "~/.cache/stitchingvideo_tpu/jax")
     try:
