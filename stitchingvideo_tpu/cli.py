@@ -183,17 +183,23 @@ def cmd_video(args) -> int:
             p.wait()
         raise
     vs = VideoStitcher(cfg)
-    if args.output:
-        import imageio.v3 as iio
-
-        def on_frame(pano, i):
-            if i == 0:
-                iio.imwrite(args.output, pano)
-    else:
-        on_frame = None
+    if args.load_registration:
+        # stream through the checkpointed registration immediately — the
+        # cold slow path is skipped (reference camera-mp4.yml intent,
+        # SURVEY §5.4, actually wired)
+        vs.load_registration(args.load_registration)
+    from .video.sink import make_sink
+    sink = make_sink(args.output, fps=args.output_fps,
+                     display=args.display)
+    on_frame = sink.write if sink is not None else None
     try:
         stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
+        if args.save_registration:
+            vs.save_registration(args.save_registration)
+            print(f"registration saved to {args.save_registration}")
     finally:
+        if sink is not None:
+            sink.close()
         for p in producers:
             p.terminate()
         for p in producers:
@@ -203,7 +209,9 @@ def cmd_video(args) -> int:
         else:
             src.close()
     print(f"frames: {stats.frames}, fps: {stats.fps():.1f}, "
-          f"registrations: {vs.registrations}")
+          f"registrations: {vs.registrations}" +
+          (f", wrote {sink.frames_written} frames to {args.output}"
+           if sink is not None and args.output else ""))
     if args.log_timing:
         from .utils.timing import GLOBAL_TRACER
         print(GLOBAL_TRACER.dumps())
@@ -241,6 +249,17 @@ def main(argv=None) -> int:
                          "hot-loop grade")
     pv.add_argument("--frames", type=int, default=100)
     pv.add_argument("--reregister_seconds", type=float, default=30.0)
+    pv.add_argument("--output_fps", type=float, default=30.0,
+                    help="frame rate stamped on the encoded --output video")
+    pv.add_argument("--display", action="store_true",
+                    help="show each composited frame in a window "
+                         "(reference imshow loop, 64-bit driver :762-768)")
+    pv.add_argument("--save_registration", default=None, metavar="PATH.npz",
+                    help="persist the registration after the run; a later "
+                         "run with --load_registration composes in seconds")
+    pv.add_argument("--load_registration", default=None, metavar="PATH.npz",
+                    help="start from a saved registration (skips the cold "
+                         "slow path entirely)")
     pv.add_argument("--canvas_shards", type=int, default=1,
                     help="shard the panorama in row bands over this many "
                          "chips (jax.sharding mesh; hot loop stays "

@@ -32,7 +32,11 @@ class Registration:
     xmaps/ymaps: [N, Hr, Wr] float32 backward maps: ROI pixel -> source pixel
     seam_masks:  [N, Hr, Wr] bool  seam ownership on the ROI grid
     gain_maps:   [N, Hr, Wr] float32 per-pixel exposure gain on the ROI grid
-    canvas_wh:   (W, H) static panorama canvas size
+    canvas_wh:   (W, H) static panorama canvas size (bucketed to 64 px so
+                 re-registrations reuse compiled programs)
+    extent_wh:   (W, H) true covered extent before bucketing — everything
+                 right of/below it is uncovered pad (cam_idx=-1, black) and
+                 must be cropped from any displayed/encoded output
     roi_hw:      (Hr, Wr) static padded per-camera ROI shape
     warp_kind / warp_scale: projection metadata (static)
     """
@@ -47,6 +51,10 @@ class Registration:
     roi_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     warp_kind: str = flax.struct.field(pytree_node=False)
     warp_scale: float = flax.struct.field(pytree_node=False)
+    # true covered extent (W, H); canvas_wh minus the 64-px bucket pad.
+    # None (legacy checkpoints) means "unknown — treat canvas_wh as covered".
+    extent_wh: Tuple[int, int] = flax.struct.field(pytree_node=False,
+                                                   default=None)
 
     @property
     def n_cameras(self) -> int:
@@ -68,6 +76,9 @@ class Registration:
             "seam_masks": np.asarray(self.seam_masks),
             "gain_maps": np.asarray(self.gain_maps),
             "canvas_wh": np.asarray(self.canvas_wh),
+            "extent_wh": np.asarray(self.extent_wh
+                                    if self.extent_wh is not None
+                                    else self.canvas_wh),
             "roi_hw": np.asarray(self.roi_hw),
             "warp_kind": np.asarray(self.warp_kind),
             "warp_scale": np.asarray(self.warp_scale),
@@ -84,6 +95,8 @@ class Registration:
                    seam_masks=jnp.asarray(d["seam_masks"]),
                    gain_maps=jnp.asarray(d["gain_maps"]),
                    canvas_wh=tuple(int(x) for x in np.asarray(d["canvas_wh"])),
+                   extent_wh=(tuple(int(x) for x in np.asarray(d["extent_wh"]))
+                              if "extent_wh" in d else None),
                    roi_hw=tuple(int(x) for x in np.asarray(d["roi_hw"])),
                    warp_kind=str(np.asarray(d["warp_kind"])),
                    warp_scale=float(np.asarray(d["warp_scale"])))

@@ -383,6 +383,11 @@ class Stitcher:
         cy1 = max(c[1] + s[0] for c, s in zip(c_corners, c_shapes))
         CW = self._sticky("pano_w", _bucket(cx1 - cx0))
         CH = self._sticky("pano_h", _bucket(cy1 - cy0))
+        # true covered extent, sticky so the RT crop (computed from it)
+        # keeps static shapes across re-registrations; everything beyond it
+        # is bucket pad (cam_idx=-1) and must never reach the output
+        EW = self._sticky("ext_w", min(cx1 - cx0, CW))
+        EH = self._sticky("ext_h", min(cy1 - cy0, CH))
         corners = np.array([[c[0] - cx0, c[1] - cy0] for c in c_corners], np.int32)
 
         cams_c = Cameras(
@@ -406,6 +411,7 @@ class Stitcher:
             roi_hw=(Hr, Wr),
             warp_kind=kind,
             warp_scale=float(c_scale),
+            extent_wh=(EW, EH),
         ), reg, compose_scale
 
     # ------------------------------------------------------------------

@@ -262,6 +262,12 @@ def build_feather_mat(blut: BlendLUT, frame_hw: Tuple[int, int]
                          f"({WIN_H},{WIN_W})")
     n_fb = int(_count_fallback(blut, tuple(frame_hw)))
     n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    # the bucket can overshoot the total tile count on tiny panoramas;
+    # argsort(...)[:n_fb] below would silently clamp to T while the static
+    # n_fb field claimed more — keep them consistent
+    nty = -(-blut.shape[0] // TILE_H)
+    ntx = -(-blut.shape[1] // TILE_W)
+    n_fb_b = min(n_fb_b, nty * ntx)
     return _materialize_feather(blut, tuple(frame_hw), n_fb_b)
 
 

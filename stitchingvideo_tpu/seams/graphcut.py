@@ -167,7 +167,11 @@ def graphcut_seams_banded(canvas_imgs, canvas_masks,
     pair count are bucketed so re-registrations reuse the compiled crop
     program. The sequential BK cuts (reference pair order,
     seam_finders.cpp:1122-1135) run on the host masks exactly as
-    `graphcut_seams` does, so results are identical.
+    `graphcut_seams` does, so results are identical GIVEN IDENTICAL INPUTS.
+    Note the product stitcher feeds this path u8-quantized canvases (4x
+    smaller relay fetch) while the legacy float path saw float32 values —
+    seam placement can differ by rounding between the two entry points; the
+    cut-cost parity gates hold for both.
     """
     import jax.numpy as jnp
 

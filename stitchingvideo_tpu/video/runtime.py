@@ -129,7 +129,8 @@ class VideoStitcher:
         from ..utils.timing import maybe_sync as _msync
         with _tracer.span("lut_build"):
             CW, CH = reg.canvas_wh
-            lut = build_lut(reg, crop=self._crop_slices((CH, CW)))
+            lut = build_lut(reg, crop=self._crop_slices((CH, CW),
+                                                        reg.extent_wh))
             _msync(lut.cam_idx)
         self.install_lut(lut, frame_hw, reg=reg)
 
@@ -148,6 +149,7 @@ class VideoStitcher:
                 lut = self._fit_lut(lut, self._out_shape)
             if reg is not None:
                 self._reg = reg
+            self._frame_hw = tuple(int(x) for x in frame_hw)
             self._lut = lut
             with _tracer.span("pallas_weight_build"):
                 self._tlut = self._try_tiled(lut, frame_hw,
@@ -181,7 +183,7 @@ class VideoStitcher:
                 st, crop_yx = build_multiband_state(
                     reg, tuple(frame_hw),
                     self.cfg.compose.blend_strength,
-                    crop=self._crop_slices((CH, CW)))
+                    crop=self._crop_slices((CH, CW), reg.extent_wh))
                 with self._lock:
                     self._mbtlut = (st, crop_yx)
                 return True
@@ -210,11 +212,15 @@ class VideoStitcher:
                                                             build_feather_mat)
                 blut = build_blend_lut(reg,
                                        self.cfg.compose.feather_sharpness)
-                y0, y1, x0, x1 = self._crop_slices(blut.shape)
+                y0, y1, x0, x1 = self._crop_slices(blut.shape, reg.extent_wh)
                 blut = blut.crop(y0, y1, x0, x1)
                 if out_shape is not None and blut.shape != tuple(out_shape):
                     blut = self._fit_blend(blut, out_shape)
             except Exception:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "feather blend-LUT build failed; frames will use the "
+                    "slow full-blend path", exc_info=True)
                 with self._lock:
                     self._ftlut = None   # composite() uses the full XLA blend
                 return False
@@ -296,11 +302,16 @@ class VideoStitcher:
         except Exception:
             return None
 
-    def _crop_slices(self, shape):
+    def _crop_slices(self, shape, extent_wh=None):
         """Reference crop margins (64-bit driver :47): 10% top/bottom, 10 px
-        left/right. Returns (y0, y1, x0, x1)."""
+        left/right — applied to the TRUE covered extent, so the 64-px canvas
+        bucket pad (uncovered, black) is cropped along with the margins.
+        Returns (y0, y1, x0, x1)."""
         v = self.cfg.video
         H, W = shape
+        if extent_wh is not None:
+            eW, eH = extent_wh
+            W, H = min(int(eW), W), min(int(eH), H)
         y0 = int(H * v.crop_top_frac)
         y1 = H - int(H * v.crop_bottom_frac)
         x0 = v.crop_left_px
@@ -490,6 +501,34 @@ class VideoStitcher:
             out = composite_tiled(batch, tlut[1], interpret=interpret)
             return jnp.transpose(out, (2, 0, 1))
         return jnp.transpose(composite_frame_u8(batch, lut), (2, 0, 1))
+
+    def save_registration(self, path: str) -> None:
+        """Persist the live registration (+ the frame shape its kernels were
+        built for) so a later process can stream without re-registering —
+        the persistence the reference's camera-mp4.yml intended but never
+        wired (SURVEY §5.4). Loadable via load_registration()."""
+        with self._lock:
+            reg = self._reg
+            fhw = getattr(self, "_frame_hw", None)
+        if reg is None or fhw is None:
+            raise RuntimeError("no live registration to save")
+        d = reg.state_dict()
+        d["frame_hw"] = np.asarray(fhw, np.int32)
+        np.savez_compressed(path, **d)
+
+    def load_registration(self, path: str) -> None:
+        """Load a saved registration and swap it in through the same
+        install_lut path a live registration uses. After this, composite()
+        serves frames immediately — the cold registration is skipped
+        entirely (the cheapest cold-start mitigation: seconds instead of
+        the full slow path)."""
+        with np.load(path, allow_pickle=False) as z:
+            d = {k: z[k] for k in z.files}
+        fhw = tuple(int(x) for x in d.pop("frame_hw"))
+        reg = Registration.from_state_dict(d)
+        CW, CH = reg.canvas_wh
+        lut = build_lut(reg, crop=self._crop_slices((CH, CW), reg.extent_wh))
+        self.install_lut(lut, fhw, reg=reg)
 
     def force_reregister(self) -> None:
         """'a'-key parity (64-bit driver :768)."""

@@ -66,14 +66,61 @@ def test_cli_video_shm_mode(scene_files, tmp_path):
             w.write(cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
         w.release()
         vids.append(vp)
-    out = tmp_path / "frame0.png"
+    out = tmp_path / "out.mp4"
     rc = main(["video", *vids, "--mode", "shm", "--frames", "2",
                "--warp", "cylindrical", "--seam", "voronoi",
                "--expos_comp", "no", "--blend", "no",
                "--conf_thresh", "0.6", "--output", str(out)])
     assert rc == 0
-    assert out.exists()
-    assert iio.imread(out).shape[1] > 500
+    # the stitched STREAM must come out: decode it back and check content
+    cap = cv2.VideoCapture(str(out))
+    assert cap.isOpened()
+    decoded = []
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        decoded.append(fr)
+    cap.release()
+    assert len(decoded) == 2
+    assert decoded[0].shape[1] > 500
+    for fr in decoded:
+        assert (fr > 16).mean() > 0.2   # real image content, not black
+
+
+def test_cli_video_mp4_and_registration_persistence(scene_files, tmp_path):
+    """`video --output out.mp4` writes EVERY composed frame; a second run
+    restarts from --load_registration with no re-registration (VERDICT r2
+    items 4+7; reference imshow loop 64-bit driver :762-768 and the unwired
+    camera-mp4.yml persistence intent, SURVEY §5.4)."""
+    import cv2
+    d, paths = scene_files
+    out = tmp_path / "pano.mp4"
+    regp = tmp_path / "reg.npz"
+    rc = main(["video", *paths, "--mode", "replay", "--frames", "4",
+               "--warp", "cylindrical", "--seam", "voronoi",
+               "--expos_comp", "no", "--blend", "no", "--conf_thresh", "0.6",
+               "--output", str(out), "--save_registration", str(regp)])
+    assert rc == 0
+    assert regp.exists()
+    cap = cv2.VideoCapture(str(out))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 4
+
+    # restart from the checkpoint: composes without a registration pass
+    out2 = tmp_path / "pano2.mp4"
+    rc = main(["video", *paths, "--mode", "replay", "--frames", "2",
+               "--warp", "cylindrical", "--seam", "voronoi",
+               "--expos_comp", "no", "--blend", "no", "--conf_thresh", "0.6",
+               "--output", str(out2), "--load_registration", str(regp)])
+    assert rc == 0
+    cap = cv2.VideoCapture(str(out2))
+    ok, fr = cap.read()
+    cap.release()
+    assert ok and (fr > 16).mean() > 0.2
 
 
 def test_cli_preview_and_undistort_flags(scene_files, tmp_path):

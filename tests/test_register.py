@@ -49,8 +49,11 @@ def test_calibrate_rotating_camera_recovers_K():
     # scale-invariance: homographies arrive arbitrarily scaled
     Kest2 = calibrate_rotating_camera([3.7 * H for H in Hs])
     np.testing.assert_allclose(Kest2, K, atol=1e-6)
-    # degenerate input (identity motion) must not crash
-    assert calibrate_rotating_camera([np.eye(3)]) is None or True
+    # degenerate input (identity motion) must not crash; any K it returns
+    # for a single identity homography is unconstrained, so only require
+    # "None or finite" — never an exception
+    k_degen = calibrate_rotating_camera([np.eye(3)])
+    assert k_degen is None or np.all(np.isfinite(k_degen))
 
 
 @pytest.mark.parametrize("kind,cvkind", [

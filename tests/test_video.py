@@ -80,6 +80,48 @@ def test_video_reregister_keeps_shape(scene):
     assert pano.shape[:2] == shape0
 
 
+def test_registration_save_load_composites_identically(scene, tmp_path):
+    """save_registration/load_registration: a fresh VideoStitcher restores
+    the checkpoint and composes the same pixels with no slow path."""
+    views, *_ = scene
+    cfg = _cfg()
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    pano0 = vs.composite(list(views))
+    p = str(tmp_path / "reg.npz")
+    vs.save_registration(p)
+
+    vs2 = VideoStitcher(_cfg())
+    vs2.load_registration(p)
+    assert vs2.registrations == 1      # install only — no register() ran
+    pano1 = vs2.composite(list(views))
+    np.testing.assert_array_equal(pano0, pano1)
+
+
+def test_extent_crop_removes_bucket_pad(scene):
+    """The 64-px canvas bucket pad (uncovered, black) must not reach the
+    output: the crop is computed from the TRUE extent (advisor r2 medium)."""
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    vs.register(list(views))
+    reg = vs._reg
+    eW, eH = reg.extent_wh
+    CW, CH = reg.canvas_wh
+    assert eW <= CW and eH <= CH
+    y0, y1, x0, x1 = vs._crop_slices((CH, CW), reg.extent_wh)
+    assert x1 <= eW and y1 <= eH          # pad never included
+    assert vs._lut.cam_idx.shape == (y1 - y0, x1 - x0)
+    # no fully-uncovered (black-pad) column band survives at the right edge
+    cam = np.asarray(vs._lut.cam_idx)
+    uncovered_cols = np.flatnonzero((cam >= 0).any(axis=0)[::-1] == 0)
+    run = 0
+    for i, c in enumerate(uncovered_cols):
+        if c != i:
+            break
+        run += 1
+    assert run <= 4
+
+
 def test_shm_ring_roundtrip():
     from stitchingvideo_tpu.video.sharemem import ShmRing
     name = f"/svt_test_{int(time.time() * 1e6) % 10**9}"
