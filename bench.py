@@ -173,6 +173,23 @@ def main():
         assert len(set(flat)) > len(flat) // 2, "outputs not distinct — invalid"
         return 1.0 / dt
 
+    # Single-frame (B=1) latency: one dispatch + checksum fetch per frame —
+    # the reference's own metric is per-frame latency ("Stitching Frame",
+    # resultTime-at.txt:82; BASELINE.json "per-frame warp+blend latency").
+    # On the remote relay each sample pays one RTT; p50 is the honest
+    # serving latency in THIS environment, a local chip would be lower.
+    def run_latency(step_fn, st, singles, iters=16):
+        for s in singles:
+            np.asarray(step_fn(s, st))
+        ts = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            np.asarray(step_fn(singles[i % len(singles)], st))
+            ts.append(time.perf_counter() - t0)
+        a = np.asarray(ts) * 1e3
+        return round(float(np.percentile(a, 50)), 2), \
+            round(float(np.percentile(a, 95)), 2)
+
     rng = np.random.default_rng(1)
     n, fh, fw = frames_np.shape[:3]
     try:
@@ -214,6 +231,51 @@ def main():
         "frames_source": source,
     })
 
+    # ---- B=1 latency + HBM roofline for the headline (mat2) path ----
+    if path == "pallas_mat2_real_reg" and reg_state is not None:
+        try:
+            singles = [jax.device_put(jnp.asarray(
+                rng.integers(-128, 127, (n, 3, fh, fw), np.int8)))
+                for _ in range(4)]
+
+            @jax.jit
+            def step1(f, s):
+                out = _compose(f, s)
+                return out[:, 301, ::401].astype(jnp.int32).sum()
+
+            p50, p95 = run_latency(step1, state, singles)
+            result["latency_ms_p50"] = p50
+            result["latency_ms_p95"] = p95
+
+            # HBM traffic accounting for one frame through the mat2 path
+            # (v5e peak ~819 GB/s). Components:
+            #   shift_planar: read frames once, write N_SHIFTS copies
+            #   kernel: weight streams (vx/vy/gcs, read once) + window DMAs
+            #           (2 slots x 3ch x win_h x VXW int8 per tile) + f32
+            #           tile-block output
+            #   untile: f32 read + u8 write (+ u8 transpose read/write)
+            from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+                GROUP, N_SHIFTS, VXW, WIN_HE, WIN_HH)
+            fbytes = n * 3 * fh * fw
+            weights = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                          for cl in (state.easy, state.hard)
+                          for a in (cl.vx, cl.vy, cl.gcs))
+            windows = (state.tg_easy * GROUP * 2 * 3 * WIN_HE * VXW +
+                       state.tg_hard * GROUP * 2 * 3 * WIN_HH * VXW)
+            out_px = 3 * state.pano_hw[0] * state.pano_hw[1]
+            traffic = ((1 + N_SHIFTS) * fbytes      # shift read+writes
+                       + N_SHIFTS * fbytes          # kernel window source*
+                       + weights + windows
+                       + 2 * out_px * 4 + 2 * out_px)
+            # *approx: window DMAs re-read overlapping source regions; we
+            # count the windows term exactly and the shifted-copy read once.
+            gbps = traffic * fps / 1e9
+            result["hbm_bytes_frame"] = int(traffic)
+            result["hbm_gbps"] = round(gbps, 1)
+            result["hbm_frac"] = round(gbps / 819.0, 3)
+        except Exception as e:
+            result["latency_error"] = repr(e)[:200]
+
     # feather-blended hot-loop mode (beyond-reference quality at video rate);
     # reuses the planar int8 batches, so only on the Pallas path
     if reg_state is not None and path == "pallas_mat2_real_reg":
@@ -232,6 +294,18 @@ def main():
 
                 result["feather_fps"] = round(
                     run_timing(step_f, fml, batches, B, iters=4), 2)
+
+                @jax.jit
+                def step_f1(f, s):
+                    return _fthr(f, s)[:, 301, ::401] \
+                        .astype(jnp.int32).sum()
+
+                singles_f = [jax.device_put(jnp.asarray(
+                    rng.integers(-128, 127, (n, 3, fh, fw), np.int8)))
+                    for _ in range(3)]
+                p50f, p95f = run_latency(step_f1, fml, singles_f, iters=10)
+                result["feather_latency_ms_p50"] = p50f
+                result["feather_latency_ms_p95"] = p95f
         except Exception as e:
             result["feather_error"] = repr(e)[:200]
 
@@ -267,6 +341,16 @@ def main():
 
                 result["multiband_fps"] = round(
                     run_timing(step_m, stmb, mb_batches, Bm, iters=2), 2)
+
+                @jax.jit
+                def step_m1(f, s):
+                    return _mbf(f, s, crop_yx=crop_yx)[:, 301, ::401] \
+                        .astype(jnp.int32).sum()
+
+                singles_m = [mb_batches[0][0], mb_batches[1][1]]
+                p50m, p95m = run_latency(step_m1, stmb, singles_m, iters=6)
+                result["multiband_latency_ms_p50"] = p50m
+                result["multiband_latency_ms_p95"] = p95m
         except Exception as e:
             result["multiband_error"] = repr(e)[:200]
     print(json.dumps(result))

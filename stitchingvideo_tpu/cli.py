@@ -22,13 +22,21 @@ def _build_cfg(args) -> "StitchConfig":
     compose_megapix = args.compose_megapix
     if getattr(args, "preview", False):
         compose_megapix = 0.6   # reference --preview (:319-322)
+    match_conf = args.match_conf
+    if match_conf is None:
+        # per-detector ratio retune, like the reference's surf/orb split
+        # (stitching_detailed.cpp:190-199: surf 0.65, orb 0.3). Our 128-dim
+        # gradient histograms sit between: 0.5 measured on the reference
+        # footage gives near-pure inlier sets (40/40, 30/32 per pair) where
+        # 0.65 starves the match graph and 0.3 admits junk on degraded rigs
+        match_conf = 0.5 if args.features == "grad" else 0.3
     cfg = cfg.replace(
         scales=dataclasses.replace(
             cfg.scales, work_megapix=args.work_megapix,
             seam_megapix=args.seam_megapix, compose_megapix=compose_megapix),
         features=dataclasses.replace(
             cfg.features, kind=args.features),
-        match=dataclasses.replace(cfg.match, match_conf=args.match_conf),
+        match=dataclasses.replace(cfg.match, match_conf=match_conf),
         register=dataclasses.replace(
             cfg.register, conf_thresh=args.conf_thresh, ba_kind=args.ba,
             ba_refine_mask=args.ba_refine_mask,
@@ -57,8 +65,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--work_megapix", type=float, default=0.6)
     p.add_argument("--seam_megapix", type=float, default=0.1)
     p.add_argument("--compose_megapix", type=float, default=-1.0)
-    p.add_argument("--features", choices=["orb", "harris_brief"], default="orb")
-    p.add_argument("--match_conf", type=float, default=0.3)
+    p.add_argument("--features", choices=["orb", "harris_brief", "grad"],
+                   default="orb",
+                   help="orb = binary rBRIEF (reference --features orb); "
+                        "grad = float SURF-class gradient histograms "
+                        "(reference --features surf, its default)")
+    p.add_argument("--match_conf", type=float, default=None,
+                   help="Lowe-ratio confidence; defaults 0.3 for binary "
+                        "descriptors, 0.5 for --features grad (per-detector "
+                        "retune like the reference's surf/orb split, "
+                        "CLI :190-199)")
     p.add_argument("--conf_thresh", type=float, default=1.0)
     p.add_argument("--ba", choices=["no", "reproj", "ray"], default="ray")
     p.add_argument("--ba_refine_mask", default="xxxxx")

@@ -16,6 +16,8 @@ from typing import Optional, Tuple
 class FeatureConfig:
     """Feature detection/description (reference src/matchers.cpp:272-434)."""
     kind: str = "orb"                 # 'orb' (grid FAST+rBRIEF) | 'harris_brief'
+                                      # | 'grad' (float SURF-class: Harris +
+                                      #   oriented gradient histograms, L2)
     max_keypoints: int = 1024         # fixed capacity per image (static shapes)
     fast_threshold: float = 20.0      # FAST circle contrast threshold (on 0..255)
     grid: Tuple[int, int] = (3, 1)    # spatial grid like OrbFeaturesFinder(:370)

@@ -212,20 +212,115 @@ def descriptors(blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray) -> jn
     return (va < vb).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector"))
+# ---- float (SURF-class) descriptor: oriented gradient histograms ----------
+#
+# The reference's DEFAULT finder is SURF with FLANN float matching
+# (src/matchers.cpp:316-368, :147-202); the binary rBRIEF path above mirrors
+# its ORB alternative. This descriptor is the float-modality equivalent:
+# a 4x4 spatial grid of 8-bin gradient-orientation histograms (128-dim),
+# gradients rotated into the keypoint frame, Gaussian-weighted, L2-
+# normalized with SIFT-style 0.2 clipping. Robust on low-texture rigs where
+# binary point-pair tests are noise-dominated — the reason the reference
+# kept SURF as its default.
+
+_G_CELLS = 4           # 4x4 spatial grid
+_G_BINS = 8            # orientation bins
+_G_SUB = 3             # 3x3 samples per cell -> 144 samples
+
+
+def _grad_pattern():
+    """Sample offsets [S,2], per-sample cell one-hot [S, 16], Gaussian
+    weights [S] (keypoint frame, patch radius ~14 of the 37-px patch)."""
+    span = 28.0                        # descriptor support width (px)
+    cell = span / _G_CELLS
+    offs, cells, wts = [], [], []
+    for cy in range(_G_CELLS):
+        for cx in range(_G_CELLS):
+            c0x = -span / 2 + cx * cell
+            c0y = -span / 2 + cy * cell
+            for sy in range(_G_SUB):
+                for sx in range(_G_SUB):
+                    px = c0x + (sx + 0.5) * cell / _G_SUB
+                    py = c0y + (sy + 0.5) * cell / _G_SUB
+                    offs.append((px, py))
+                    cells.append(cy * _G_CELLS + cx)
+                    wts.append(np.exp(-(px * px + py * py)
+                                      / (2 * (span / 2.5) ** 2)))
+    offs = np.asarray(offs, np.float32)
+    oh = np.zeros((len(cells), _G_CELLS * _G_CELLS), np.float32)
+    oh[np.arange(len(cells)), cells] = 1.0
+    return offs, oh, np.asarray(wts, np.float32)
+
+
+_G_OFFS, _G_CELL_OH, _G_WTS = _grad_pattern()
+
+
+def grad_descriptors(gray: jnp.ndarray, xy: jnp.ndarray,
+                     angle: jnp.ndarray) -> jnp.ndarray:
+    """[K, 128] float32 oriented gradient-histogram descriptors."""
+    g = filters.gaussian_blur(gray.astype(jnp.float32), 5, 1.2)
+    dx = filters.sobel(g, 1, 0)
+    dy = filters.sobel(g, 0, 1)
+    px_patch = _extract_patches(dx, xy, _PATCH)      # [K, P, P]
+    py_patch = _extract_patches(dy, xy, _PATCH)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)          # [K]
+    offs = jnp.asarray(_G_OFFS)                      # [S, 2]
+
+    # rotate SAMPLE POSITIONS into the image frame
+    rx = ca[:, None] * offs[None, :, 0] - sa[:, None] * offs[None, :, 1]
+    ry = sa[:, None] * offs[None, :, 0] + ca[:, None] * offs[None, :, 1]
+    xi = jnp.clip(jnp.round(rx).astype(jnp.int32) + _PATCH_R, 0, _PATCH - 1)
+    yi = jnp.clip(jnp.round(ry).astype(jnp.int32) + _PATCH_R, 0, _PATCH - 1)
+    flat_idx = yi * _PATCH + xi                      # [K, S]
+    gx = jnp.take_along_axis(px_patch.reshape(px_patch.shape[0], -1),
+                             flat_idx, axis=1)       # [K, S]
+    gy = jnp.take_along_axis(py_patch.reshape(py_patch.shape[0], -1),
+                             flat_idx, axis=1)
+
+    # rotate GRADIENTS into the keypoint frame
+    gxr = ca[:, None] * gx + sa[:, None] * gy
+    gyr = -sa[:, None] * gx + ca[:, None] * gy
+    mag = jnp.sqrt(gxr * gxr + gyr * gyr) * jnp.asarray(_G_WTS)[None, :]
+    ori = jnp.arctan2(gyr, gxr)                      # [-pi, pi)
+    fb = (ori + jnp.pi) * (_G_BINS / (2 * jnp.pi))
+    # soft-assign into the two nearest orientation bins (linear vote)
+    b0 = jnp.floor(fb).astype(jnp.int32) % _G_BINS
+    b1 = (b0 + 1) % _G_BINS
+    w1 = fb - jnp.floor(fb)
+    bins = jnp.arange(_G_BINS)
+    oh = ((b0[..., None] == bins) * (1.0 - w1)[..., None] +
+          (b1[..., None] == bins) * w1[..., None])   # [K, S, 8]
+    hist = jnp.einsum("ksb,sc->kcb", oh * mag[..., None],
+                      jnp.asarray(_G_CELL_OH))       # [K, 16, 8]
+    d = hist.reshape(hist.shape[0], _G_CELLS * _G_CELLS * _G_BINS)
+    # SIFT-style normalize -> clip 0.2 -> renormalize
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    d = jnp.minimum(d, 0.2)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    return d
+
+
+@partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector",
+                                   "desc_kind"))
 def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
                         max_kp: int = 1024, border: int = 24, grid=(3, 1),
-                        detector: str = "fast"):
+                        detector: str = "fast", desc_kind: str = "brief"):
     """Full per-image feature pipeline (single scale).
 
     Returns dict(xy, response, angle, valid, desc) with static shapes.
+    desc_kind: 'brief' (binary rBRIEF) or 'grad' (float gradient
+    histograms, the SURF-class modality).
     """
     xy, response, valid = detect(gray, threshold, max_kp, border, grid,
                                  detector)
     ang = orientations(gray, xy)
-    blurred = filters.gaussian_blur(gray.astype(jnp.float32), 7, 2.0)
-    desc = descriptors(blurred, xy, ang)
-    desc = jnp.where(valid[:, None], desc, 0)
+    if desc_kind == "grad":
+        desc = grad_descriptors(gray, xy, ang)
+        desc = jnp.where(valid[:, None], desc, 0.0)
+    else:
+        blurred = filters.gaussian_blur(gray.astype(jnp.float32), 7, 2.0)
+        desc = descriptors(blurred, xy, ang)
+        desc = jnp.where(valid[:, None], desc, 0)
     return {"xy": xy, "response": response, "angle": ang, "valid": valid, "desc": desc}
 
 

@@ -30,6 +30,23 @@ def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray,
     return ham
 
 
+def l2_matrix(d1: jnp.ndarray, d2: jnp.ndarray,
+              v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
+    """[K1, K2] Euclidean distances for FLOAT descriptors (the SURF-class
+    modality: reference CpuMatcher uses a FLANN KD-tree for float
+    descriptors, matchers.cpp:147-202 — on TPU the whole distance field is
+    one MXU contraction, no tree). Same Lowe-ratio semantics as the
+    reference since distances are true L2, not squared."""
+    a = d1.astype(jnp.float32)
+    b = d2.astype(jnp.float32)
+    dot = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    sq = (a * a).sum(axis=1)[:, None] + (b * b).sum(axis=1)[None, :] \
+        - 2.0 * dot
+    dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+    return jnp.where(v1[:, None] & v2[None, :], dist, _INF)
+
+
 def _two_nn(D: jnp.ndarray):
     """Per-row two smallest distances and argmin. D: [K1, K2]."""
     neg, idx = jax.lax.top_k(-D, 2)
@@ -45,8 +62,15 @@ def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     Forward (1->2) ratio survivors plus backward (2->1) survivors not already
     found forward, best-distance-first — the same union rule as
     BestOf2NearestMatcher::match (matchers.cpp:575-611).
+
+    Descriptor dtype selects the metric like the reference's matcher does
+    (binary -> Hamming/LSH, float -> L2/KD-tree; matchers.cpp:169-180):
+    integer descriptors use the Hamming matmul, floating ones true L2.
     """
-    D = hamming_matrix(d1, d2, v1, v2)
+    if jnp.issubdtype(d1.dtype, jnp.floating):
+        D = l2_matrix(d1, d2, v1, v2)
+    else:
+        D = hamming_matrix(d1, d2, v1, v2)
     K1, K2 = D.shape
 
     f0, f1, fj = _two_nn(D)

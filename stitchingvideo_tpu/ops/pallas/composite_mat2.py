@@ -78,6 +78,11 @@ class MatLUT2:
     tg_easy: int = flax.struct.field(pytree_node=False)
     tg_hard: int = flax.struct.field(pytree_node=False)
     n_fb: int = flax.struct.field(pytree_node=False)
+    # scratch_slot: class arrays contain PAD groups whose gid points one past
+    # the real group range; the output grows one throwaway block to absorb
+    # their writes (used by the canvas-sharded per-band LUTs, where class
+    # counts are bucketed uniformly across bands)
+    scratch_slot: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def _per_tile_fields(tlut: TiledLUT):
@@ -465,7 +470,7 @@ def shift_planar(planar_i8: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("interpret",))
 def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
                           interpret: bool = False) -> jnp.ndarray:
-    Tg = -(-ml.n_tiles // GROUP)
+    Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
     frames_sh = shift_planar(planar_i8)
     if ml.tg_hard > 0:
         out = _class_call(frames_sh, ml.hard, WIN_HH, Tg, None, interpret)

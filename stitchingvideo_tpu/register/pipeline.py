@@ -60,11 +60,17 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     the camera axis is data parallelism, not a host loop."""
     fc = cfg.features
     shapes = {im.shape for im in images}
+    # kind -> (detector gate, descriptor family). 'grad' is the SURF-class
+    # float modality: Harris keypoints (no FAST contrast gate — better on
+    # low-texture rigs, the reference's reason for keeping SURF default) +
+    # oriented gradient-histogram descriptors matched by L2.
+    det = "harris" if fc.kind in ("harris_brief", "grad") else "fast"
+    desc_kind = "grad" if fc.kind == "grad" else "brief"
     if len(shapes) == 1 and len(images) > 1 and fc.num_levels == 1:
         batch = jnp.asarray(np.stack(images))
         gray = color.rgb_to_gray(batch) if batch.ndim == 4 else batch.astype(jnp.float32)
-        det = "harris" if fc.kind == "harris_brief" else "fast"
-        f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det)(
+        f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det,
+                              desc_kind)(
             gray, fc.fast_threshold if det == "fast" else 1.0)
         wh = (int(gray.shape[2]), int(gray.shape[1]))
         return [{**{k: v[i] for k, v in f.items()}, "img_wh": wh}
@@ -79,11 +85,10 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
                 border=fc.border, grid=fc.grid, levels=fc.num_levels,
                 scale_factor=fc.scale_factor)
         else:
-            det = "harris" if fc.kind == "harris_brief" else "fast"
             f = feat_ops.detect_and_describe(
                 gray, threshold=fc.fast_threshold if det == "fast" else 1.0,
                 max_kp=fc.max_keypoints, border=fc.border, grid=fc.grid,
-                detector=det)
+                detector=det, desc_kind=desc_kind)
         f = dict(f)
         f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
         out.append(f)
@@ -94,14 +99,15 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_detector(max_kp, border, grid, detector="fast"):
+def _batched_detector(max_kp, border, grid, detector="fast",
+                      desc_kind="brief"):
     """Cached jitted vmapped detector (a fresh jit wrapper per call would
     retrace + recompile on every re-registration)."""
     @jax.jit
     def run(gray, threshold):
         return jax.vmap(lambda g: feat_ops.detect_and_describe(
             g, threshold=threshold, max_kp=max_kp, border=border,
-            grid=grid, detector=detector))(gray)
+            grid=grid, detector=detector, desc_kind=desc_kind))(gray)
     return run
 
 

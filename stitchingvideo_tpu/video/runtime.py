@@ -224,15 +224,38 @@ class VideoStitcher:
                 with self._lock:
                     self._ftlut = None   # composite() uses the full XLA blend
                 return False
-            try:
-                state = ("fmat",
-                         jax.device_put(build_feather_mat(blut,
-                                                          tuple(frame_hw))))
-            except Exception:
-                state = ("fgather", jax.device_put(blut))
+            state = None
+            if self._mesh is not None:
+                # multichip: row-band-shard the feather kernel (item 5 —
+                # every hot-loop mode people use must scale over the mesh)
+                try:
+                    from ..parallel.compose_feather import (
+                        pad_blend_rows_for_shards, shard_feather_lut,
+                        sharded_composite_feather_fn)
+                    ndev = self._mesh.shape["canvas"]
+                    Hp = blut.shape[0]
+                    blut_p = pad_blend_rows_for_shards(blut, ndev)
+                    fml = build_feather_mat(blut_p, tuple(frame_hw))
+                    sf = shard_feather_lut(fml, self._mesh)
+                    interp = jax.default_backend() != "tpu"
+                    fn = sharded_composite_feather_fn(self._mesh, sf,
+                                                      interpret=interp)
+                    state = ("fmat_sharded", (sf, fn, Hp))
+                except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "sharded feather build failed; using single-device",
+                        exc_info=True)
+            if state is None:
+                try:
+                    state = ("fmat",
+                             jax.device_put(build_feather_mat(
+                                 blut, tuple(frame_hw))))
+                except Exception:
+                    state = ("fgather", jax.device_put(blut))
             with self._lock:
                 self._ftlut = state
-        return state[0] == "fmat"
+        return state[0] in ("fmat", "fmat_sharded")
 
     @staticmethod
     def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto",
@@ -241,31 +264,50 @@ class VideoStitcher:
 
         Kernel preference (cfg.video.kernel): 'auto' = mat2 > mat > tiled >
         gather; or pinned. 'mat2' is the fastest hot loop, 'mat' builds its
-        weights ~3x faster per re-registration. With a mesh (multi-chip mode)
-        the 'mat' kernel runs shard_map'd over canvas row bands."""
+        weights ~3x faster per re-registration. With a mesh (multi-chip
+        mode) the mat2 kernel — fallback-tile overlay included — runs
+        shard_map'd over canvas row bands ('auto'/'mat2'); kernel='mat' pins
+        the older sharded mat kernel."""
         if kernel == "gather":
             return None
         if mesh is not None:
+            ndev = mesh.shape["canvas"]
+            Hp = lut.cam_idx.shape[0]
+            interp = jax.default_backend() != "tpu"
+            from ..ops.pallas.composite import build_tiled_lut
+            from .lut import pad_lut_rows_for_shards
+            if kernel in ("auto", "mat2"):
+                try:
+                    from ..ops.pallas.composite_mat2 import _materialize2
+                    from ..parallel.compose_mat2 import (
+                        shard_mat2_lut, sharded_composite_mat2_fn)
+                    lut_p = pad_lut_rows_for_shards(lut, ndev)
+                    tlut = build_tiled_lut(lut_p, tuple(frame_hw))
+                    ml2 = _materialize2(tlut, tuple(frame_hw))
+                    sm = shard_mat2_lut(ml2, mesh)
+                    fn = sharded_composite_mat2_fn(mesh, sm, interpret=interp)
+                    return ("mat2_sharded", (sm, fn, Hp))
+                except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "sharded mat2 build failed; trying sharded mat",
+                        exc_info=True)
             try:
                 from ..ops.pallas.composite_mat import _materialize
-                from ..ops.pallas.composite import build_tiled_lut
                 from ..parallel.compose_mat import (shard_mat_lut,
                                                     sharded_composite_mat_fn)
-                from .lut import pad_lut_rows_for_shards
-                ndev = mesh.shape["canvas"]
-                Hp = lut.cam_idx.shape[0]
                 lut_p = pad_lut_rows_for_shards(lut, ndev)
                 tlut = build_tiled_lut(lut_p, tuple(frame_hw))
                 if int(tlut.n_fallback) != 0:
-                    # the sharded kernel has no per-tile fallback overlay;
+                    # the mat kernel has no per-tile fallback overlay;
                     # >2-camera tiles would compose wrong — demote loudly
                     import logging
                     logging.getLogger(__name__).warning(
                         "multichip compose demoted to single-device: %d "
-                        "fallback tiles", int(tlut.n_fallback))
+                        "fallback tiles and the mat2 path unavailable",
+                        int(tlut.n_fallback))
                 else:
                     ml = _materialize(tlut)
-                    interp = jax.default_backend() != "tpu"
                     fn = sharded_composite_mat_fn(mesh, ml, interpret=interp)
                     return ("mat_sharded", (shard_mat_lut(ml, mesh), fn, Hp))
             except Exception:
@@ -404,6 +446,11 @@ class VideoStitcher:
                                "(register with compose_mode='feather' or "
                                "call build_feather_state)")
         kind, state = ftlut
+        if kind == "fmat_sharded":
+            from ..ops.pallas.composite_mat import frames_to_planar_i8
+            sf, fn, Hp = state
+            out = fn(frames_to_planar_i8(batch), sf)
+            return out[:, :Hp]   # drop shard-alignment pad rows
         if kind == "fmat":
             from ..ops.pallas.composite_feather import \
                 composite_feather_planar as fthr
@@ -483,7 +530,7 @@ class VideoStitcher:
         if lut is None:
             raise RuntimeError("not registered yet")
         interpret = jax.default_backend() != "tpu"
-        if tlut is not None and tlut[0] == "mat_sharded":
+        if tlut is not None and tlut[0] in ("mat_sharded", "mat2_sharded"):
             from ..ops.pallas.composite_mat import frames_to_planar_i8
             sharded, fn, Hp = tlut[1]
             out = fn(frames_to_planar_i8(batch), sharded)

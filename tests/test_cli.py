@@ -23,6 +23,7 @@ def scene_files(tmp_path_factory):
     return d, paths
 
 
+@pytest.mark.slow
 def test_cli_stitch(scene_files, tmp_path):
     d, paths = scene_files
     out = tmp_path / "pano.png"
@@ -39,6 +40,7 @@ def test_cli_stitch(scene_files, tmp_path):
     assert "Nm=" in dot
 
 
+@pytest.mark.slow
 def test_cli_video(scene_files, tmp_path):
     d, paths = scene_files
     out = tmp_path / "frame0.png"
@@ -50,6 +52,7 @@ def test_cli_video(scene_files, tmp_path):
     assert out.exists()
 
 
+@pytest.mark.slow
 def test_cli_video_shm_mode(scene_files, tmp_path):
     """Reference RT scenario from the CLI: decode producers spawned by the
     driver (--mode shm) feeding the shared-memory rings."""
@@ -88,6 +91,7 @@ def test_cli_video_shm_mode(scene_files, tmp_path):
         assert (fr > 16).mean() > 0.2   # real image content, not black
 
 
+@pytest.mark.slow
 def test_cli_video_mp4_and_registration_persistence(scene_files, tmp_path):
     """`video --output out.mp4` writes EVERY composed frame; a second run
     restarts from --load_registration with no re-registration (VERDICT r2
@@ -123,6 +127,7 @@ def test_cli_video_mp4_and_registration_persistence(scene_files, tmp_path):
     assert ok and (fr > 16).mean() > 0.2
 
 
+@pytest.mark.slow
 def test_cli_preview_and_undistort_flags(scene_files, tmp_path):
     """--preview composes at 0.6 MP (reference :319-322); --undistort_params
     parses; --try_gpu accepted for flag parity."""

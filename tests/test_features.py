@@ -98,6 +98,7 @@ def test_ransac_degenerate_pair():
     assert int(out["num_inliers"]) == 0
 
 
+@pytest.mark.slow
 def test_pyramid_features_scale_tolerance(rng):
     """Keypoints from a 1.4x-scaled copy still match via pyramid levels."""
     img = _textured(rng, 288, 384)

@@ -1,0 +1,104 @@
+"""Float (SURF-class) descriptor modality: gradient histograms + L2 2-NN.
+
+Reference parity target: the SURF default finder + FLANN float matching
+(src/matchers.cpp:316-368, :147-202). SURVEY §7.3 requires descriptor-type
+pluggability with retuned thresholds per detector.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stitchingvideo_tpu.config import StitchConfig
+from stitchingvideo_tpu.ops import features as feat_ops
+from stitchingvideo_tpu.ops.matching import l2_matrix, match_pair
+from stitchingvideo_tpu.register.pipeline import register_images
+from stitchingvideo_tpu.utils import synthetic
+
+
+def _textured(rng, h=240, w=320):
+    img = rng.uniform(0, 255, (h // 8, w // 8)).astype(np.float32)
+    img = np.kron(img, np.ones((8, 8), np.float32))
+    img += rng.normal(0, 4, (h, w)).astype(np.float32)
+    return np.clip(img, 0, 255)
+
+
+def test_grad_descriptor_shape_and_norm(rng):
+    g = jnp.asarray(_textured(rng))
+    f = feat_ops.detect_and_describe(g, max_kp=128, detector="harris",
+                                     threshold=1.0, desc_kind="grad")
+    d = np.asarray(f["desc"])
+    v = np.asarray(f["valid"])
+    assert d.shape == (128, 128) and d.dtype == np.float32
+    norms = np.linalg.norm(d[v], axis=1)
+    assert np.all(np.abs(norms - 1.0) < 1e-3)      # L2-normalized
+    assert d[v].max() <= 0.2 / 0.2 * 1.0 + 1e-6    # clipped then renormed
+    assert (d[~v] == 0).all()
+
+
+@pytest.mark.slow
+def test_grad_descriptor_rotation_tolerant(rng):
+    """The oriented histogram must survive an in-plane rotation (the whole
+    point of keypoint-frame gradients): descriptors of the same physical
+    point at 0 deg and 30 deg must be much closer than unrelated pairs."""
+    import cv2
+    base = _textured(rng, 256, 256)
+    M = cv2.getRotationMatrix2D((128, 128), 30.0, 1.0)
+    rot = cv2.warpAffine(base, M, (256, 256), flags=cv2.INTER_LINEAR)
+
+    f0 = feat_ops.detect_and_describe(jnp.asarray(base), max_kp=96,
+                                      detector="harris", threshold=1.0,
+                                      desc_kind="grad")
+    f1 = feat_ops.detect_and_describe(jnp.asarray(rot), max_kp=96,
+                                      detector="harris", threshold=1.0,
+                                      desc_kind="grad")
+    D = np.asarray(l2_matrix(f0["desc"], f1["desc"],
+                             f0["valid"], f1["valid"]))
+    # geometric correspondence: rotate f0 keypoints into the rotated frame
+    xy0 = np.asarray(f0["xy"]) - 128
+    c, s = np.cos(np.deg2rad(-30)), np.sin(np.deg2rad(-30))
+    pred = np.stack([c * xy0[:, 0] - s * xy0[:, 1],
+                     s * xy0[:, 0] + c * xy0[:, 1]], -1) + 128
+    xy1 = np.asarray(f1["xy"])
+    hits = 0
+    tot = 0
+    for i in np.flatnonzero(np.asarray(f0["valid"])):
+        j = int(D[i].argmin())
+        if D[i, j] > 1e8:
+            continue
+        tot += 1
+        if np.linalg.norm(xy1[j] - pred[i]) < 4.0:
+            hits += 1
+    assert tot >= 20
+    assert hits / tot > 0.5, f"{hits}/{tot} rotated matches"
+
+
+def test_match_pair_float_l2(rng):
+    """Float descriptors route through the L2 metric and self-match."""
+    d = rng.normal(size=(64, 128)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    v = np.ones(64, bool)
+    src, dst, dist, valid = match_pair(jnp.asarray(d), jnp.asarray(v),
+                                       jnp.asarray(d), jnp.asarray(v),
+                                       match_conf=0.65, max_matches=64)
+    src, dst, dist, valid = map(np.asarray, (src, dst, dist, valid))
+    assert valid.sum() >= 60
+    assert (src[valid] == dst[valid]).all()        # identity matches
+    assert dist[valid].max() < 1e-3
+
+
+@pytest.mark.slow
+def test_grad_registration_synthetic_scene():
+    """End-to-end registration through the float modality."""
+    views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=11)
+    cfg = StitchConfig()
+    cfg = cfg.replace(
+        features=dataclasses.replace(cfg.features, kind="grad"),
+        match=dataclasses.replace(cfg.match, match_conf=0.5),
+        register=dataclasses.replace(cfg.register, conf_thresh=0.6))
+    reg = register_images(list(views), cfg)
+    assert len(reg.indices) == 3
+    assert reg.warped_image_scale > 0

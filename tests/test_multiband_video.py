@@ -42,6 +42,7 @@ def scene_mb():
     return vs, views
 
 
+@pytest.mark.slow
 def test_multiband_video_hot_path(scene_mb):
     """The cached-state multiband frame path matches the full XLA multiband
     blend (same normalized-convolution formulation; warps differ only by the
@@ -50,7 +51,8 @@ def test_multiband_video_hot_path(scene_mb):
     assert vs._mbtlut is not None
     pano_hot = vs.composite(list(views))
     pano_full = vs._composite_blend(list(views), "multiband")
-    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2])
+    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2],
+                                     vs._reg.extent_wh)
     pano_full = pano_full[y0:y1, x0:x1]
     assert pano_hot.shape == pano_full.shape
     cov = (pano_full.sum(-1) > 0) & (pano_hot.sum(-1) > 0)
@@ -59,6 +61,7 @@ def test_multiband_video_hot_path(scene_mb):
     assert (d <= 6).mean() > 0.99, (np.median(d), (d <= 6).mean(), d.max())
 
 
+@pytest.mark.slow
 def test_multiband_video_rereg_keeps_working(scene_mb):
     """Re-registration rebuilds the cached state and the path stays live."""
     vs, views = scene_mb

@@ -52,6 +52,7 @@ def _synthetic_blend_lut(rng, N=3, fh=128, fw=512, Hp=64, Wp=768,
     return frames, blut
 
 
+@pytest.mark.slow
 def test_feather_kernel_matches_gather(rng):
     frames, blut = _synthetic_blend_lut(rng)
     ml = build_feather_mat(blut, (128, 512))
@@ -66,6 +67,7 @@ def test_feather_kernel_matches_gather(rng):
     assert np.median(d) == 0 and d.max() <= 3, (np.median(d), d.max())
 
 
+@pytest.mark.slow
 def test_feather_fallback_tiles_exact(rng):
     """Tiles referencing 3 distinct cameras get the exact dual-gather overlay
     — no whole-LUT demotion, and those tiles are bit-exact vs the oracle."""
@@ -87,6 +89,7 @@ def test_feather_fallback_tiles_exact(rng):
     assert d.max() <= 3
 
 
+@pytest.mark.slow
 def test_video_feather_hot_loop(scene_feather):
     """Registration-driven: the feather Pallas path matches the full XLA
     feather blend (same weights, all-camera normalization) closely."""
@@ -97,7 +100,7 @@ def test_video_feather_hot_loop(scene_feather):
     pano_full = vs._composite_blend(list(views), "feather")
     # the hot path applies the reference crop margins (64-bit driver :47);
     # the full-blend path composes the whole canvas — crop it to compare
-    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2])
+    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2], vs._reg.extent_wh)
     pano_full = pano_full[y0:y1, x0:x1]
     assert pano_hot.shape == pano_full.shape
     cov = (pano_full.sum(-1) > 0) & (pano_hot.sum(-1) > 0)
@@ -108,6 +111,7 @@ def test_video_feather_hot_loop(scene_feather):
     assert (d <= 4).mean() > 0.99, (np.median(d), (d <= 4).mean(), d.max())
 
 
+@pytest.mark.slow
 def test_feather_microbatch(scene_feather):
     """Serving shape: B frame-sets per device execution through the feather
     kernel — identical to the single-frame path."""

@@ -19,6 +19,9 @@ REF_DIR = "/root/reference/stitching/OpenCV2.4.11-Stitching/Release/output1"
 # ---------------------------------------------------------------------------
 # component parity: integer pyramids (bit-exact)
 # ---------------------------------------------------------------------------
+# heavy parity/golden runs (SURVEY §4): excluded from the fast core profile
+pytestmark = pytest.mark.slow
+
 def test_pyramid_int_bit_exact(rng):
     import jax.numpy as jnp
     from stitchingvideo_tpu.ops.pyramid_int import pyr_down_i16, pyr_up_i16

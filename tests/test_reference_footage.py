@@ -12,8 +12,9 @@ import pytest
 
 REF_DIR = "/root/reference/stitching/OpenCV2.4.11-Stitching/Release/output1"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_DIR), reason="reference footage not mounted")
+pytestmark = [pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference footage not mounted"),
+    pytest.mark.slow]
 
 
 def test_reference_rig_registration():

@@ -83,6 +83,7 @@ def test_spanning_tree_and_component():
     assert center == 1
 
 
+@pytest.mark.slow
 def test_full_registration_synthetic():
     """End-to-end registration on a rendered 4-camera scene recovers the rig."""
     views, K, Rs_true, f_true, _tex = synthetic.make_scene(
@@ -129,6 +130,7 @@ def _ba_synthetic_scene(ppx=6.0, ppy=-4.0, aspect=1.02, f=500.0, n=3, m=40):
     return Rs, ei, ej, pts1, pts2, w
 
 
+@pytest.mark.slow
 def test_ba_refine_mask_per_flag():
     """Each ba_refine_mask flag moves (or freezes) exactly its parameter
     (motion_estimators.cpp:389-438 gating; skew flag inert like the
@@ -165,6 +167,7 @@ def test_ba_refine_mask_per_flag():
     assert np.any(ppa[:, 2] != 1.0)
 
 
+@pytest.mark.slow
 def test_ba_refine_mask_string_validation():
     """Pipeline rejects malformed masks; skew char accepted but inert."""
     import pytest as _pytest

@@ -31,6 +31,7 @@ def _cfg(**compose_kw):
     ("no", "voronoi"),
     ("multiband", "dp_color"),
 ])
+@pytest.mark.slow
 def test_stitch_synthetic(blend, seam):
     views, K, Rs, f, tex = synthetic.make_scene(
         n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=3)
@@ -47,6 +48,7 @@ def test_stitch_synthetic(blend, seam):
     assert pano[mask].mean() > 30
 
 
+@pytest.mark.slow
 def test_stitch_mixed_resolution_cameras():
     """Cameras with different resolutions go through the per-camera seam
     path (no batched warp) and must still stitch (reference CLI accepts
@@ -65,6 +67,7 @@ def test_stitch_mixed_resolution_cameras():
     assert pano[mask].mean() > 30
 
 
+@pytest.mark.slow
 def test_stitch_exposure_compensation():
     """Brightness-offset views -> gains equalize the output overlap."""
     views, K, Rs, f, tex = synthetic.make_scene(
@@ -108,6 +111,7 @@ def _ncc_max(a: np.ndarray, b: np.ndarray, max_shift: int = 6) -> float:
     return best
 
 
+@pytest.mark.slow
 def test_stitch_vs_cv2_stitcher():
     """Our panorama vs cv2.Stitcher panorama on the same views: same output
     class AND matching content (NCC of the coarse panoramas >= 0.8)."""
@@ -131,6 +135,7 @@ def test_stitch_vs_cv2_stitcher():
     assert ncc >= 0.8, f"panorama content NCC {ncc:.3f} < 0.8"
 
 
+@pytest.mark.slow
 def test_registration_state_roundtrip(tmp_path):
     views, *_ = synthetic.make_scene(n=3, img_wh=(512, 384), seed=3)
     cfg = _cfg(warp_type="cylindrical", blend_type="feather", seam_find="voronoi",
@@ -150,6 +155,7 @@ def test_registration_state_roundtrip(tmp_path):
 
 @pytest.mark.parametrize("kind", ["fisheye", "mercator", "paniniA2B1",
                                   "stereographic"])
+@pytest.mark.slow
 def test_stitch_exotic_warp_types(kind):
     """Integration smoke: the full pipeline runs for non-default projections
     (ROI detection + map rasterization + blending)."""

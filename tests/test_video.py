@@ -27,6 +27,7 @@ def scene():
                                 overlap_frac=0.4, seed=7)
 
 
+@pytest.mark.slow
 def test_lut_composite_matches_still_compose(scene):
     views, *_ = scene
     cfg = _cfg()
@@ -45,6 +46,7 @@ def test_lut_composite_matches_still_compose(scene):
     assert (diff < 8).mean() > 0.97
 
 
+@pytest.mark.slow
 def test_video_stitcher_stream(scene):
     views, *_ = scene
     cfg = _cfg()
@@ -64,6 +66,7 @@ def test_video_stitcher_stream(scene):
     assert stats.fps() > 0
 
 
+@pytest.mark.slow
 def test_video_reregister_keeps_shape(scene):
     views, *_ = scene
     cfg = _cfg()
@@ -80,6 +83,7 @@ def test_video_reregister_keeps_shape(scene):
     assert pano.shape[:2] == shape0
 
 
+@pytest.mark.slow
 def test_registration_save_load_composites_identically(scene, tmp_path):
     """save_registration/load_registration: a fresh VideoStitcher restores
     the checkpoint and composes the same pixels with no slow path."""
@@ -98,6 +102,7 @@ def test_registration_save_load_composites_identically(scene, tmp_path):
     np.testing.assert_array_equal(pano0, pano1)
 
 
+@pytest.mark.slow
 def test_extent_crop_removes_bucket_pad(scene):
     """The 64-px canvas bucket pad (uncovered, black) must not reach the
     output: the crop is computed from the TRUE extent (advisor r2 medium)."""
@@ -190,6 +195,7 @@ def test_synthetic_source():
     assert len(f) == 3 and f[0].shape == (48, 64, 3)
 
 
+@pytest.mark.slow
 def test_dynamic_seam_8cam_mode():
     """BASELINE config 5: periodic re-registration + seam refresh, 8-cam
     output. Small frames; exercises the full re-register->swap->composite
@@ -218,6 +224,7 @@ def test_video_forces_full_res_maps():
     assert vs.cfg.scales.compose_megapix == -1.0
 
 
+@pytest.mark.slow
 def test_video_feather_compose_mode(scene):
     """Beyond-reference video mode: full feather blend through cached fields."""
     import dataclasses as dc
@@ -235,6 +242,7 @@ def test_video_feather_compose_mode(scene):
     assert pano2.shape[2] == 3
 
 
+@pytest.mark.slow
 def test_video_with_undistortion():
     """Undistort-enabled video: registration on undistorted frames, LUT
     composed with the undistort map (single-gather hot loop)."""
@@ -276,6 +284,7 @@ def test_video_with_undistortion():
     assert pano.shape[1] > 500
 
 
+@pytest.mark.slow
 def test_shm_producer_pipeline(tmp_path):
     """Full cross-process ingest: N replay producer processes (the
     reference's GetFromRtsp model) -> SharedMemorySource -> frames."""
@@ -319,6 +328,7 @@ def test_shm_producer_pipeline(tmp_path):
                 pass
 
 
+@pytest.mark.slow
 def test_video_decode_producer_pipeline(scene, tmp_path):
     """Full ingest→composite chain with REAL video decode: N producer
     processes (cv2.VideoCapture decoding .avi files — the GetFromRtsp.exe
@@ -381,6 +391,7 @@ def test_video_decode_producer_pipeline(scene, tmp_path):
                 pass
 
 
+@pytest.mark.slow
 def test_video_kernel_pinning(scene):
     """cfg.video.kernel pins the composite path."""
     import dataclasses as dc
@@ -406,6 +417,7 @@ def test_frame_stats_report(scene):
     assert r["compose"]["mean_ms"] > 0
 
 
+@pytest.mark.slow
 def test_concurrent_composite_during_swap(scene):
     """Hammer the hot path from one thread while re-registering in another:
     the atomic LUT swap must never produce a torn read or crash (the
