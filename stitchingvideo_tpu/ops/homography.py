@@ -50,6 +50,79 @@ def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.
     return H
 
 
+def perspective_4pt(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
+    """Exact 4-point homography via the 8x8 linear system with h33=1
+    (cv2.getPerspectiveTransform's formulation), Hartley-normalized.
+
+    This is the RANSAC HYPOTHESIS solver: jnp.linalg.solve on [8,8] lowers
+    to a tiny LU — the 9x9 eigh DLT used here previously made the batched
+    hypothesis stage compile in ~2 minutes per shape variant (the dominant
+    cold-start cost); LU compiles in seconds. Degenerate samples yield a
+    garbage H that simply scores zero inliers (the h33=0 family that DLT
+    could represent is measure-zero among random 4-point samples).
+    """
+    w4 = jnp.ones((4,), jnp.float32)
+    T1 = _normalization(pts1, w4)
+    T2 = _normalization(pts2, w4)
+    p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
+    p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
+    x, y = p1[:, 0], p1[:, 1]
+    xp, yp = p2[:, 0], p2[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], -1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], -1)
+    A = jnp.concatenate([r1, r2], axis=0)            # [8, 8]
+    b = jnp.concatenate([xp, yp], axis=0)            # [8]
+    h = jnp.linalg.solve(A, b)
+    Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
+                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
+                       [0.0, 0.0, 1.0]])
+    H = T2inv @ Hn @ T1
+    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+    return H
+
+
+def weighted_refit_8pt(pts1: jnp.ndarray, pts2: jnp.ndarray,
+                       w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted inlier refit via the h33=1 normal equations (8x8 LU solve).
+
+    Same algebraic formulation as perspective_4pt but overdetermined: rows
+    for every correspondence, weighted by w, collapsed to an 8x8 system
+    A^T W A h = A^T W b. Replaces the eigh-based DLT on the RANSAC refit
+    path — jnp.linalg.eigh's QDWH lowering was a multi-minute XLA compile
+    (the refit runs per pair inside the one-dispatch match program). A tiny
+    ridge keeps degenerate weight sets solvable; the caller's inlier-count
+    gate discards any garbage refit.
+    """
+    T1 = _normalization(pts1, w)
+    T2 = _normalization(pts2, w)
+    p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
+    p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
+    x, y = p1[:, 0], p1[:, 1]
+    xp, yp = p2[:, 0], p2[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], -1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], -1)
+    A = jnp.concatenate([r1, r2], axis=0)                  # [2M, 8]
+    b = jnp.concatenate([xp, yp], axis=0)                  # [2M]
+    ww = jnp.concatenate([w, w], axis=0)
+    Aw = A * ww[:, None]
+    G = jnp.matmul(Aw.T, A, precision=jax.lax.Precision.HIGHEST) \
+        + 1e-8 * jnp.eye(8)
+    g = Aw.T @ b
+    h = jnp.linalg.solve(G, g)
+    Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
+    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
+                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
+                       [0.0, 0.0, 1.0]])
+    H = T2inv @ Hn @ T1
+    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+    return H
+
+
 def transfer_error2(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     """Squared forward transfer error per correspondence (findHomography's
     inlier criterion)."""

@@ -14,19 +14,36 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e9)
+# np scalar, NOT jnp: a module-level jnp.float32() is a DEVICE array, and
+# embedding it as a jit constant makes MLIR lowering fetch it through the
+# TPU relay — measured 200-540 s stall on the FIRST program that closes
+# over it in each process (the round-2 cold-start mystery)
+_INF = np.float32(1e9)
 
 
 def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray,
                    v1: jnp.ndarray, v2: jnp.ndarray) -> jnp.ndarray:
     """[K1, K2] Hamming distances; invalid rows/cols get +inf."""
-    a = d1.astype(jnp.float32)
-    b = d2.astype(jnp.float32)
+    # bf16 operands, f32 MXU accumulation: EXACT for 0/1 descriptors (bit
+    # values and all partial sums <= 256 are representable), and the bf16
+    # matmul is the TPU-native path — the f32xf32 dot here compiled ~6x
+    # slower (XLA's multi-pass f32 matmul + autotune) and its executable
+    # took ~60 s to load per fresh process
+    a = d1.astype(jnp.bfloat16)
+    b = d2.astype(jnp.bfloat16)
     dot = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    ham = a.sum(axis=1)[:, None] + b.sum(axis=1)[None, :] - 2.0 * dot
-    ham = jnp.where(v1[:, None] & v2[None, :], ham, _INF)
+    af = d1.astype(jnp.float32)
+    bf = d2.astype(jnp.float32)
+    ham = af.sum(axis=1)[:, None] + bf.sum(axis=1)[None, :] - 2.0 * dot
+    # additive validity penalties instead of a select fused into the matmul
+    # output (the fused select compiled pathologically on the remote XLA
+    # service); invalid rows/cols end up >= _INF which every consumer
+    # treats as "no match"
+    ham = ham + jnp.where(v1, 0.0, _INF)[:, None] \
+        + jnp.where(v2, 0.0, _INF)[None, :]
     return ham
 
 
@@ -44,14 +61,22 @@ def l2_matrix(d1: jnp.ndarray, d2: jnp.ndarray,
     sq = (a * a).sum(axis=1)[:, None] + (b * b).sum(axis=1)[None, :] \
         - 2.0 * dot
     dist = jnp.sqrt(jnp.maximum(sq, 0.0))
-    return jnp.where(v1[:, None] & v2[None, :], dist, _INF)
+    return dist + jnp.where(v1, 0.0, _INF)[:, None] \
+        + jnp.where(v2, 0.0, _INF)[None, :]
 
 
 def _two_nn(D: jnp.ndarray):
-    """Per-row two smallest distances and argmin. D: [K1, K2]."""
-    neg, idx = jax.lax.top_k(-D, 2)
-    d0, d1 = -neg[:, 0], -neg[:, 1]
-    return d0, d1, idx[:, 0]
+    """Per-row two smallest distances and argmin. D: [K1, K2].
+
+    Pure min/argmin reductions + a masked second pass — lax.top_k(k=2) here
+    lowered to a full sort network whose XLA compile took minutes and whose
+    executable took ~60 s to LOAD per fresh process (the single largest
+    cold-start cost of the whole registration path)."""
+    j0 = jnp.argmin(D, axis=1)
+    d0 = jnp.min(D, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
+    d1 = jnp.min(jnp.where(cols == j0[:, None], _INF, D), axis=1)
+    return d0, d1, j0
 
 
 @partial(jax.jit, static_argnames=("max_matches",))
@@ -88,6 +113,21 @@ def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     dist = jnp.concatenate([f0, b0])
     keep = jnp.concatenate([fwd_keep, bwd_keep])
 
-    order_score = jnp.where(keep, -dist, -_INF)
-    _, sel = jax.lax.top_k(order_score, max_matches)
-    return src[sel], dst[sel], dist[sel], keep[sel]
+    # Best-distance-first truncation to max_matches WITHOUT a sort: each
+    # kept entry's output slot is its exact rank = #kept entries strictly
+    # better (distance, then index as tie-break). An [M, M] comparison
+    # matrix + row-reduce lowers to broadcast/reduce ops — lax.top_k here
+    # lowered to a full sort network that cost minutes of XLA compile and
+    # a ~60 s executable load per fresh process (cold-start dominant).
+    d_eff = jnp.where(keep, dist, jnp.inf)
+    better = (d_eff[None, :] < d_eff[:, None]) | \
+        ((d_eff[None, :] == d_eff[:, None]) &
+         (jnp.arange(d_eff.shape[0])[None, :] < jnp.arange(d_eff.shape[0])[:, None]))
+    rank = jnp.sum(better & keep[None, :], axis=1)
+    slot = jnp.where(keep & (rank < max_matches), rank, max_matches)
+    out_src = jnp.zeros((max_matches + 1,), src.dtype).at[slot].set(src)[:-1]
+    out_dst = jnp.zeros((max_matches + 1,), dst.dtype).at[slot].set(dst)[:-1]
+    out_dist = jnp.full((max_matches + 1,), _INF, dist.dtype) \
+        .at[slot].set(dist)[:-1]
+    out_keep = jnp.zeros((max_matches + 1,), jnp.bool_).at[slot].set(keep)[:-1]
+    return out_src, out_dst, out_dist, out_keep

@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .homography import dlt_homography, transfer_error2
+from .homography import perspective_4pt, transfer_error2, weighted_refit_8pt
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -40,10 +40,9 @@ def ransac_homography(key, pts1: jnp.ndarray, pts2: jnp.ndarray,
     sample_ok = jax.vmap(distinct)(samples) & (n_valid >= 4)
 
     def fit(sample):
-        p1 = pts1[sample]
-        p2 = pts2[sample]
-        w = jnp.ones((4,), jnp.float32)
-        return dlt_homography(p1, p2, w)
+        # closed-form 8x8 solve: the eigh-based DLT here cost ~2 min of XLA
+        # compile for the batched hypothesis stage (see perspective_4pt)
+        return perspective_4pt(pts1[sample], pts2[sample])
 
     Hs = jax.vmap(fit)(samples)  # [iters,3,3]
 
@@ -61,7 +60,8 @@ def ransac_homography(key, pts1: jnp.ndarray, pts2: jnp.ndarray,
     H = Hs[best]
     for _ in range(2):
         w = best_inl.astype(jnp.float32)
-        H_ref = dlt_homography(pts1, pts2, w)
+        # 8x8 LU refit — the eigh DLT here was a compile bomb (homography.py)
+        H_ref = weighted_refit_8pt(pts1, pts2, w)
         err2 = transfer_error2(H_ref, pts1, pts2)
         new_inl = (err2 < thresh * thresh) & valid
         better = new_inl.sum() >= best_inl.sum()

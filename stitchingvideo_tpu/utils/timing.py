@@ -56,13 +56,20 @@ class Tracer:
 
 GLOBAL_TRACER = Tracer()
 
-# STITCH_SYNC_SPANS=1: block on device results at span boundaries so stage
-# timings attribute async device work to the stage that issued it (JAX
-# dispatch is asynchronous — without this, a span's cost surfaces at the next
-# host fetch and the report misleads).
+# Sync-at-span-ends (default ON; STITCH_SYNC_SPANS=0 opts out). Two reasons:
+# 1. Attribution: JAX dispatch is asynchronous — without syncing, a span's
+#    device cost surfaces at the next host fetch and the report misleads.
+# 2. Cold-start correctness on the remote TPU relay: letting the host race
+#    ahead overlaps several executable loads/compiles in flight, and
+#    concurrent loads through the relay poison each other (measured: the
+#    same cold registration is 414 s free-running vs 31 s synced — each
+#    stage's load is solo-fast but 10-100x slower when another load is in
+#    flight). Registration stages are seconds long, so the sync itself
+#    costs microseconds relative to the work; the per-frame hot loop does
+#    NOT use these spans and keeps full async pipelining.
 import os as _os  # noqa: E402
 
-SYNC_SPANS = _os.environ.get("STITCH_SYNC_SPANS", "") not in ("", "0")
+SYNC_SPANS = _os.environ.get("STITCH_SYNC_SPANS", "") != "0"
 
 
 def enable_compilation_cache(path: str = "") -> None:
