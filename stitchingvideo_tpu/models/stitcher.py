@@ -211,11 +211,9 @@ class Stitcher:
         # staged registration with tracing spans (reference LOG/LOGLN timers,
         # SURVEY §5.1 — 'Finding features', 'Pairwise matching', ...)
         with _tracer.span("find_features"):
+            # compute_features host-fetches the detector outputs (one
+            # transfer), which also syncs the detect dispatch into this span
             feats = compute_features(work_imgs, cfg)
-            # sync the detector outputs so (a) the span attributes its own
-            # device time and (b) the match program's load never overlaps
-            # in-flight detect work on the relay (timing.SYNC_SPANS notes)
-            _msync(*(f["desc"] for f in feats))
         with _tracer.span("pairwise_matching"):
             pairs = match_all_pairs(feats, cfg, seed)
         with _tracer.span("estimate_cameras"):

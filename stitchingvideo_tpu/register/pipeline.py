@@ -72,8 +72,16 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
         f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det,
                               desc_kind)(
             gray, fc.fast_threshold if det == "fast" else 1.0)
+        # ONE host fetch of the batched outputs; per-camera views are numpy
+        # slices. Handing out lazy device slices (v[i]) instead made every
+        # downstream restack a chain of tiny eager programs whose in-flight
+        # dependency resolution through the TPU relay intermittently stalled
+        # the next big program's load for minutes (measured 5 s vs 200+ s
+        # bimodal cold matching). Features are a few hundred KB — the
+        # round-trip is microseconds and also syncs the detect dispatch.
+        f_np = {k: np.asarray(v) for k, v in f.items()}
         wh = (int(gray.shape[2]), int(gray.shape[1]))
-        return [{**{k: v[i] for k, v in f.items()}, "img_wh": wh}
+        return [{**{k: v[i] for k, v in f_np.items()}, "img_wh": wh}
                 for i in range(len(images))]
     out = []
     for img in images:
@@ -89,7 +97,7 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
                 gray, threshold=fc.fast_threshold if det == "fast" else 1.0,
                 max_kp=fc.max_keypoints, border=fc.border, grid=fc.grid,
                 detector=det, desc_kind=desc_kind)
-        f = dict(f)
+        f = {k: np.asarray(v) for k, v in f.items()}  # host-side (see above)
         f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
         out.append(f)
     return out
@@ -147,9 +155,12 @@ def match_all_pairs(features: List[dict], cfg: StitchConfig,
 
     results: List[PairResult] = []
     if same_shape and pairs_idx:
-        desc = jnp.stack([f["desc"] for f in features])
-        dvalid = jnp.stack([f["valid"] for f in features])
-        xy = jnp.stack([f["xy"] for f in features])
+        # features are host numpy (compute_features fetches once); stack on
+        # host and upload each stack as ONE transfer — no eager device ops
+        # between the detect program and the match program
+        desc = jnp.asarray(np.stack([f["desc"] for f in features]))
+        dvalid = jnp.asarray(np.stack([f["valid"] for f in features]))
+        xy = jnp.asarray(np.stack([f["xy"] for f in features]))
         centers = jnp.asarray([[f["img_wh"][0] * 0.5, f["img_wh"][1] * 0.5]
                                for f in features], jnp.float32)
         pi = jnp.asarray([p[0] for p in pairs_idx], jnp.int32)

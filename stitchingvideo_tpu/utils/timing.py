@@ -69,7 +69,21 @@ GLOBAL_TRACER = Tracer()
 #    NOT use these spans and keeps full async pipelining.
 import os as _os  # noqa: E402
 
-SYNC_SPANS = _os.environ.get("STITCH_SYNC_SPANS", "") != "0"
+_SYNC_ENV = _os.environ.get("STITCH_SYNC_SPANS", "")
+SYNC_SPANS = _SYNC_ENV != "0"
+
+
+def set_sync_spans(on: bool) -> None:
+    """Adaptive sync policy: the load-poisoning hazard above only exists
+    while executables are still being loaded, i.e. the FIRST registration of
+    a process. Once every program is resident, warm re-registration runs
+    faster free-running (host orchestration overlaps device work — measured
+    ~3 s vs ~6 s synced). VideoStitcher flips this off after its first
+    successful registration. An explicit STITCH_SYNC_SPANS env pins the
+    behavior and makes this a no-op."""
+    global SYNC_SPANS
+    if _SYNC_ENV == "":
+        SYNC_SPANS = bool(on)
 
 
 def enable_compilation_cache(path: str = "") -> None:

@@ -133,6 +133,10 @@ class VideoStitcher:
                                                         reg.extent_wh))
             _msync(lut.cam_idx)
         self.install_lut(lut, frame_hw, reg=reg)
+        # first registration loaded every executable — warm re-registration
+        # is faster free-running (see timing.set_sync_spans)
+        from ..utils.timing import set_sync_spans
+        set_sync_spans(False)
 
     def install_lut(self, lut: CompositeLUT, frame_hw,
                     reg: Optional[Registration] = None) -> None:
