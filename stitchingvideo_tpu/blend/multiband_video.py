@@ -2,25 +2,36 @@
 registration-cached state.
 
 The reference's video hot loop is seam-select only; its multiband blender
-exists on the still path (blenders.cpp:189-377). The round-1 video
-'multiband' mode re-ran the full still blend graph per frame (remap gathers +
-per-frame mask pyramids + python canvas placement) at ~1 s/frame. This module
-restructures it around what is registration-static:
+exists on the still path (blenders.cpp:189-377, feed() per image over its
+ROI + band-canvas accumulation). The first video version of this mode ran
+every per-camera stage on FULL-CANVAS grids ([N*3, CHp, CWp] pyramids),
+~340 ms/frame — dominated by full-resolution work that is provably
+unnecessary:
 
-  * per-camera warps run through the on-the-fly Pallas tiled kernel (one
-    single-camera TiledLUT per camera, gain folded; ~16 B/pixel of HBM —
-    MATERIALIZED weights at ~336 B/pixel would cost several GB across 6
-    full-res ROIs and OOM the chip) — the remap gathers were ~0.8 s/frame
-    of scalar-issue work;
-  * the mask Gaussian pyramids and the per-band normalization reciprocals
-    depend only on the registration — precomputed once, cached in HBM;
-  * the whole frame path (warp → place → image pyramids → weighted
-    accumulate → collapse) is ONE jitted program, so nothing is retraced
-    and nothing visits the host.
+  * Per-camera content lives in a narrow window of the canvas. All
+    per-camera terms (mask-normalized pyramids, Laplacians, the L1->L0
+    upsample) are computed on tight per-camera WINDOW grids and only
+    accumulated onto canvas grids (the reference's own feed()-per-ROI
+    architecture, re-derived for batched TPU execution). A 360° wrap-around
+    camera whose footprint spans both canvas edges is split at its interior
+    footprint gap into two virtual cameras — Gaussian pyramids are linear,
+    so the split is exact as long as the two halves' blur tails never meet.
+  * Level-0 needs no per-camera normalization at all: the level-0 mask
+    pyramid is the binary seam partition, so
+        band_0 = sum_n gi_n - sum_n up(norm_n,1) * m_n = S - U
+    where S is the plain seam-composited canvas (one accumulation of the
+    warped windows) and U accumulates per-window upsamples. The [N*3]
+    full-canvas level-0 pyramid stage of the old path disappears.
+  * Pyramid levels are stored bfloat16 (blur arithmetic in f32, canvas
+    accumulators f32): the chain is HBM-bound and u8 content fits bf16.
 
-Per frame only the image pyramids remain — the irreducible per-frame cost of
-true multiband blending. Quality semantics match blend/multiband.py
-(normalized-convolution full-canvas pyramids, the documented TPU deviation).
+Per frame only window pyramids + canvas accumulation remain. Quality
+semantics match blend/multiband.py (normalized-convolution pyramids, the
+documented TPU deviation) up to window truncation of coarse-band Gaussian
+tails beyond MARGIN px outside a camera's footprint — the cached mask
+pyramids and normalization reciprocals are truncated identically, so the
+output stays a convex blend of camera values; the deviation is gated by
+tests/test_multiband_video.py against the full still blend.
 """
 from __future__ import annotations
 
@@ -35,78 +46,162 @@ import numpy as np
 from ..ops import pyramid_planar as ppyr
 from .multiband import WEIGHT_EPS, num_bands_for, pad_for_bands
 
+# extra window width (canvas px) kept on each side of a camera's footprint:
+# level-l Gaussian tails spread ~4*2^l px, so 256 keeps levels <= 6 exact
+# and truncates only the outermost tail of band 7
+MARGIN = 256
+# footprint column gaps wider than this split a camera into virtual cameras
+# (the 360° wrap-around case); narrower gaps stay one window
+SPLIT_GAP = 384
+
 
 @flax.struct.dataclass
 class MultibandVideoState:
-    """Registration-cached state for the multiband frame path."""
-    warp_luts: Tuple            # per-camera mat2 LUTs (ROI warp, gain folded)
-    corners: jnp.ndarray        # [N, 2] (x, y) canvas corners
-    masks: jnp.ndarray          # [N, CHp, CWp] bool (seam & valid, placed)
-    gp_m: Tuple                 # mask Gaussian pyramid, stacked [N,h,w]/level
-    recip: Tuple                # per-band 1/(sum_i gp_m_i + eps)
+    """Registration-cached state for the windowed multiband frame path."""
+    warp_lut: object            # ONE concat TiledLUT (frame -> windows, gain folded)
+    m0: jnp.ndarray             # [Nv, Hb, Wb] bf16 binary seam&valid masks
+    gm: Tuple                   # window mask Gaussian pyramid [Nv, h, w]/level
+    recip: Tuple                # per-band canvas 1/(wsum + eps), f32
+    piece_cam: Tuple[int, ...] = flax.struct.field(pytree_node=False)
+    piece_ax: Tuple[int, ...] = flax.struct.field(pytree_node=False)
     canvas_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
+    buf_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     out_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     bands: int = flax.struct.field(pytree_node=False)
-    roi_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
+
+
+def _column_pieces(valid: np.ndarray) -> List[Tuple[int, int]]:
+    """[Hr, Wr] footprint -> list of (x0, x1) ROI column spans. One span per
+    contiguous column run, runs separated by < SPLIT_GAP merged; capped at
+    two pieces (single interior gap = the wrap-around case)."""
+    cols = np.flatnonzero(valid.any(axis=0))
+    if cols.size == 0:
+        return []
+    gaps = np.flatnonzero(np.diff(cols) > SPLIT_GAP)
+    if gaps.size != 1:
+        return [(int(cols[0]), int(cols[-1]) + 1)]
+    g = int(gaps[0])
+    return [(int(cols[0]), int(cols[g]) + 1),
+            (int(cols[g + 1]), int(cols[-1]) + 1)]
 
 
 def build_multiband_state(reg, frame_hw: Tuple[int, int],
                           blend_strength: float = 5.0,
-                          crop=None) -> MultibandVideoState:
-    """From a Registration pytree. crop=(y0,y1,x0,x1) applies the RT crop
-    margins to the OUTPUT (the canvas/pyramids keep the full extent so blend
-    character is unchanged; the crop is a final slice)."""
+                          crop=None):
+    """From a Registration pytree -> (MultibandVideoState, crop_yx).
+    crop=(y0,y1,x0,x1) applies the RT crop margins to the OUTPUT (canvas and
+    pyramids keep the full extent so blend character is unchanged)."""
     from ..ops.pallas.composite import build_tiled_lut
     from ..video.lut import CompositeLUT
 
     n = reg.n_cameras
     CW, CH = reg.canvas_wh
     bands = num_bands_for(float(CW * CH), blend_strength)
+    if bands < 1:
+        raise ValueError("canvas too small for banded blending")
     CHp, CWp = pad_for_bands(CH, CW, bands)
+    align = max(128, 1 << bands)
+    CHb = -(-CHp // align) * align      # window height = full canvas height
+    CWb = -(-CWp // align) * align
+    Hr, Wr = reg.roi_hw
 
-    luts = []
-    for i in range(n):
-        lut_i = CompositeLUT(
-            cam_idx=jnp.where(reg.valid[i], 0, -1).astype(jnp.int32),
-            src_x=reg.xmaps[i], src_y=reg.ymaps[i],
-            gain=reg.gain_maps[i])
-        tl = build_tiled_lut(lut_i, tuple(frame_hw))
-        if int(tl.n_fallback) != 0:
-            raise ValueError(f"camera {i}: {int(tl.n_fallback)} "
-                             "window-overflow tiles in the warp LUT")
-        luts.append(jax.device_put(tl))
-
+    valid_np = np.asarray(reg.valid)
+    seam_np = np.asarray(reg.seam_masks) & valid_np
+    xm_np = np.asarray(reg.xmaps)
+    ym_np = np.asarray(reg.ymaps)
+    gn_np = np.asarray(reg.gain_maps)
     corners = np.asarray(reg.corners)
-    masks, gp_m, wsum = _mask_pyramids(
-        reg.seam_masks, reg.valid, jnp.asarray(corners), (CHp, CWp), bands)
-    recip = tuple(1.0 / (w + WEIGHT_EPS) for w in wsum)
 
+    # -- virtual-camera windows ------------------------------------------
+    pieces = []                       # (cam, ax, x0r, x1r)
+    for i in range(n):
+        cx, cy = int(corners[i, 0]), int(corners[i, 1])
+        for x0r, x1r in _column_pieces(valid_np[i]):
+            cx0 = max(0, cx + x0r)
+            cx1 = min(CWb, cx + x1r)
+            if cx1 <= cx0:
+                continue
+            pieces.append((i, cx0, cx1, x0r, x1r))
+    if not pieces:
+        raise ValueError("no valid camera footprints")
+    Wb = min(CWb, -(-(max(c1 - c0 for _, c0, c1, _, _ in pieces)
+                      + 2 * MARGIN) // align) * align)
+    Nv = len(pieces)
+
+    piece_cam, piece_ax = [], []
+    m_w = np.zeros((Nv, CHb, Wb), np.float32)
+    luts = []
+    for p, (i, cx0, cx1, x0r, x1r) in enumerate(pieces):
+        cx, cy = int(corners[i, 0]), int(corners[i, 1])
+        ax = max(0, cx0 - MARGIN) // align * align
+        ax = min(ax, CWb - Wb)
+        if ax + Wb < cx1:             # window must cover the footprint
+            ax = min(CWb - Wb, -(-(cx1 - Wb) // align) * align)
+        assert ax >= 0 and ax + Wb >= cx1 and ax <= cx0, (ax, cx0, cx1, Wb)
+        piece_cam.append(i)
+        piece_ax.append(int(ax))
+
+        # ROI -> window copy rectangles (full canvas height; content is
+        # clipped at the TRUE canvas extent CHp/CWp exactly like the
+        # full-canvas placement it replaces)
+        ry0, ry1 = max(0, -cy), min(Hr, CHp - cy)
+        rc0 = max(x0r, ax - cx)
+        rc1 = min(x1r, ax + Wb - cx, CWp - cx)
+        wy, wx = cy + ry0, (cx + rc0) - ax
+        hh, ww = ry1 - ry0, rc1 - rc0
+        if hh <= 0 or ww <= 0:
+            raise ValueError(f"camera {i}: empty window piece")
+
+        vv = valid_np[i, ry0:ry1, rc0:rc1]
+        cam_idx = np.full((CHb, Wb), -1, np.int32)
+        cam_idx[wy:wy + hh, wx:wx + ww] = np.where(vv, 0, -1)
+        sx = np.zeros((CHb, Wb), np.float32)
+        sy = np.zeros((CHb, Wb), np.float32)
+        gg = np.ones((CHb, Wb), np.float32)
+        sx[wy:wy + hh, wx:wx + ww] = xm_np[i, ry0:ry1, rc0:rc1]
+        sy[wy:wy + hh, wx:wx + ww] = ym_np[i, ry0:ry1, rc0:rc1]
+        gg[wy:wy + hh, wx:wx + ww] = gn_np[i, ry0:ry1, rc0:rc1]
+        m_w[p, wy:wy + hh, wx:wx + ww] = seam_np[i, ry0:ry1, rc0:rc1]
+
+        lut_p = CompositeLUT(cam_idx=jnp.asarray(cam_idx),
+                             src_x=jnp.asarray(sx), src_y=jnp.asarray(sy),
+                             gain=jnp.asarray(gg))
+        tl = build_tiled_lut(lut_p, tuple(frame_hw))
+        if int(tl.n_fallback) != 0:
+            raise ValueError(f"camera {i} piece {p}: "
+                             f"{int(tl.n_fallback)} window-overflow tiles")
+        luts.append(tl)
+
+    from ..ops.pallas.composite import concat_tiled_luts
+    warp_lut = jax.device_put(concat_tiled_luts(luts, piece_cam))
+    gm, recip = _mask_state(jnp.asarray(m_w), tuple(piece_ax),
+                            (CHp, CWp), bands)
     y0, y1, x0, x1 = crop if crop is not None else (0, CH, 0, CW)
-    return MultibandVideoState(
-        warp_luts=tuple(luts), corners=jnp.asarray(corners),
-        masks=masks, gp_m=gp_m, recip=recip,
-        canvas_hw=(CHp, CWp), out_hw=(y1 - y0, x1 - x0), bands=bands,
-        roi_hw=reg.roi_hw), (y0, x0)
+    st = MultibandVideoState(
+        warp_lut=warp_lut,
+        m0=jnp.asarray(m_w).astype(jnp.bfloat16),
+        gm=gm, recip=recip,
+        piece_cam=tuple(piece_cam), piece_ax=tuple(piece_ax),
+        canvas_hw=(CHp, CWp), buf_hw=(CHb, Wb),
+        out_hw=(y1 - y0, x1 - x0), bands=bands)
+    return st, (y0, x0)
 
 
-@partial(jax.jit, static_argnames=("canvas_hw", "bands"))
-def _mask_pyramids(seam_masks, valid, corners, canvas_hw, bands):
+@partial(jax.jit, static_argnames=("piece_ax", "canvas_hw", "bands"))
+def _mask_state(m_w, piece_ax, canvas_hw, bands):
+    """Window mask pyramids + canvas normalization reciprocals."""
     CHp, CWp = canvas_hw
-    n, Hr, Wr = seam_masks.shape
-
-    def place(i):
-        m = (seam_masks[i] & valid[i]).astype(jnp.float32)
-        canvas = jnp.zeros((CHp + Hr, CWp + Wr), jnp.float32)
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, m, (corners[i, 1], corners[i, 0]))
-        return canvas[:CHp, :CWp]
-
-    placed = jnp.stack([place(i) for i in range(n)])      # [N, CHp, CWp]
-    # batched mask pyramids: levels as stacked [N, h, w]
-    gp_m = tuple(ppyr.gaussian_pyramid_p(placed, bands))
-    wsum = tuple(g.sum(axis=0) for g in gp_m)
-    masks = placed > 0
-    return masks, gp_m, wsum
+    gm = tuple(ppyr.gaussian_pyramid_p(m_w, bands))
+    recip = []
+    for lvl, g in enumerate(gm):
+        ws = jnp.zeros((CHp >> lvl, CWp >> lvl), jnp.float32)
+        hb, wb = g.shape[1], g.shape[2]
+        hl, wl = CHp >> lvl, CWp >> lvl
+        for p, ax in enumerate(piece_ax):
+            ws = ws.at[:min(hb, hl), ax >> lvl:(ax >> lvl) + wb].add(
+                g[p, :min(hb, hl), :min(wb, wl - (ax >> lvl))])
+        recip.append(1.0 / (ws + WEIGHT_EPS))
+    return gm, tuple(recip)
 
 
 @jax.jit
@@ -117,52 +212,76 @@ def to_planar_bf16(frames_u8: jnp.ndarray) -> jnp.ndarray:
     return frames_u8.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
 
 
+def _bblur_up(x_bf16: jnp.ndarray) -> jnp.ndarray:
+    """pyr_up with f32 arithmetic on bf16 storage (fused casts)."""
+    return ppyr.pyr_up_p(x_bf16.astype(jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("interpret", "crop_yx"))
 def multiband_video_frame(planar_bf16: jnp.ndarray, st: MultibandVideoState,
                           crop_yx: Tuple[int, int] = (0, 0),
                           interpret: bool = False) -> jnp.ndarray:
     """[N,3,H,W] bfloat16 planar frames (see to_planar_bf16) ->
     blended [3, outH, outW] uint8."""
-    from ..ops.pallas.composite import composite_tiled_planar
+    from ..ops.pallas.composite import composite_tiled_planar_pieces
 
-    n = planar_bf16.shape[0]
+    Nv = len(st.piece_cam)
     CHp, CWp = st.canvas_hw
-    Hr, Wr = st.roi_hw
+    CHb, Wb = st.buf_hw
     bands = st.bands
 
-    # warp every camera (Pallas), place on canvas -> one BATCHED pyramid
-    # chain over [N*3, H, W] (six sequential chains left the VPU underfed)
-    canvases = []
-    for i in range(n):
-        w = composite_tiled_planar(planar_bf16[i:i + 1], st.warp_luts[i],
-                                   interpret=interpret)   # [Hr, Wr, 3] u8
-        img = jnp.transpose(w, (2, 0, 1)).astype(jnp.float32)[:, :Hr, :Wr]
-        canvas = jnp.zeros((3, CHp + Hr, CWp + Wr), jnp.float32)
-        canvas = jax.lax.dynamic_update_slice(
-            canvas, img, (jnp.int32(0), st.corners[i, 1], st.corners[i, 0]))
-        canvases.append(canvas[:, :CHp, :CWp])
-    stack = jnp.stack(canvases)                           # [N, 3, CHp, CWp]
-    stack = stack * st.masks.astype(jnp.float32)[:, None]
-    gp_im = ppyr.gaussian_pyramid_p(stack.reshape(n * 3, CHp, CWp), bands)
-    band_acc: List[jnp.ndarray] = []
-    norms = []
-    for lvl in range(bands + 1):
-        gi = gp_im[lvl].reshape(n, 3, CHp >> lvl, CWp >> lvl)
-        gm = st.gp_m[lvl]                                  # [N, h, w]
-        norms.append(gi / jnp.maximum(gm, WEIGHT_EPS)[:, None])
-    for lvl in range(bands + 1):
-        if lvl < bands:
-            up = ppyr.pyr_up_p(
-                norms[lvl + 1].reshape(n * 3, CHp >> (lvl + 1),
-                                       CWp >> (lvl + 1))) \
-                .reshape(n, 3, CHp >> lvl, CWp >> lvl)
-            lap = norms[lvl] - up
-        else:
-            lap = norms[lvl]
-        band_acc.append(jnp.einsum("nchw,nhw->chw", lap, st.gp_m[lvl]))
+    # -- warp every piece into its window: ONE kernel launch, planar out --
+    x = composite_tiled_planar_pieces(planar_bf16, st.warp_lut, Nv,
+                                      interpret=interpret)
+    x = x * st.m0[:, None]                           # [Nv, 3, CHb, Wb] bf16
 
-    norm = [b * r[None] for b, r in zip(band_acc, st.recip)]
-    pano = ppyr.collapse_laplacian_p(norm)
+    # -- window image pyramids + per-level normalized contributions -------
+    gp = ppyr.gaussian_pyramid_p(x.reshape(Nv * 3, CHb, Wb), bands)
+    norms = [None]
+    for lvl in range(1, bands + 1):
+        gi = gp[lvl].reshape(Nv, 3, CHb >> lvl, Wb >> lvl)
+        norms.append((gi / jnp.maximum(st.gm[lvl], WEIGHT_EPS)[:, None])
+                     .astype(jnp.bfloat16))
+
+    # band canvases for levels >= 1: sum_p lap_p * gm_p placed at ax>>lvl
+    band = []
+    for lvl in range(1, bands + 1):
+        if lvl < bands:
+            up = _bblur_up(norms[lvl + 1].reshape(
+                Nv * 3, CHb >> (lvl + 1), Wb >> (lvl + 1))) \
+                .reshape(Nv, 3, CHb >> lvl, Wb >> lvl)
+            lap = norms[lvl].astype(jnp.float32) - up
+        else:
+            lap = norms[bands].astype(jnp.float32)
+        contrib = lap * st.gm[lvl][:, None]
+        hl, wl = CHp >> lvl, CWp >> lvl
+        hb, wb = CHb >> lvl, Wb >> lvl
+        acc = jnp.zeros((3, hl, wl), jnp.float32)
+        for p, ax in enumerate(st.piece_ax):
+            a = ax >> lvl
+            acc = acc.at[:, :min(hb, hl), a:a + wb].add(
+                contrib[p, :, :min(hb, hl), :min(wb, wl - a)])
+        band.append(acc)
+
+    # -- collapse coarse..1 on canvas grids -------------------------------
+    C = band[-1] * st.recip[bands][None]
+    for lvl in range(bands - 1, 0, -1):
+        C = ppyr.pyr_up_p(C) + band[lvl - 1] * st.recip[lvl][None]
+
+    # -- level 0: band_0 = sum_p place(x_p - up(norm_1)_p * m_p) ----------
+    # (x is the seam composite S restricted to its window and u the level-0
+    # correction; folding the subtraction into window space leaves ONE
+    # canvas accumulation instead of separate S and U passes)
+    u_all = _bblur_up(norms[1].reshape(Nv * 3, CHb >> 1, Wb >> 1)) \
+        .reshape(Nv, 3, CHb, Wb) * st.m0[:, None].astype(jnp.float32)
+    d_all = x.astype(jnp.float32) - u_all
+    B0 = jnp.zeros((3, CHp, CWp), jnp.float32)
+    for p, ax in enumerate(st.piece_ax):
+        B0 = B0.at[:, :CHp, ax:ax + Wb].add(
+            d_all[p, :, :CHp, :min(Wb, CWp - ax)])
+
+    pano = B0 * st.recip[0][None] + ppyr.pyr_up_p(C)
+
     oy, ox = crop_yx
     oh, ow = st.out_hw
     out = jax.lax.dynamic_slice(pano, (jnp.int32(0), oy, ox), (3, oh, ow))

@@ -299,3 +299,81 @@ def composite_tiled_planar(planar: jnp.ndarray, tlut: TiledLUT,
               .transpose(1, 3, 2, 4, 0) \
               .reshape(nty * TILE_H, ntx * TILE_W, 3)[:Hp, :Wp]
     return jnp.clip(jnp.round(pano), 0, 255).astype(jnp.uint8)
+
+
+def concat_tiled_luts(luts, cams) -> TiledLUT:
+    """Concatenate per-piece single-camera TiledLUTs into ONE multi-camera
+    LUT so a single kernel launch warps every piece.
+
+    Each input LUT was built against one camera (cam_idx in {0, -1});
+    tile_cam/cidx are rewritten to the real camera index `cams[p]` so the
+    kernel DMAs from — and masks against — the right frame in the full
+    [N, 3, H, W] stack. All pieces must share grid and frame shapes."""
+    nty, ntx = luts[0].grid_hw
+    fhw = luts[0].frame_hw
+    assert all(l.grid_hw == (nty, ntx) and l.frame_hw == fhw for l in luts)
+
+    def cat(f):
+        return jnp.concatenate([getattr(l, f) for l in luts], axis=0)
+
+    cidx = jnp.concatenate(
+        [jnp.where(l.cidx >= 0, jnp.int32(c), jnp.int32(-1))
+         for l, c in zip(luts, cams)], axis=0)
+    tile_cam = jnp.concatenate(
+        [jnp.full_like(l.tile_cam, c) for l, c in zip(luts, cams)], axis=0)
+    return TiledLUT(
+        sx=cat("sx"), sy=cat("sy"), gain=cat("gain"), cidx=cidx,
+        tile_cam=tile_cam, tile_org=cat("tile_org"),
+        tile_band=cat("tile_band"), fallback=cat("fallback"),
+        n_fallback=sum(l.n_fallback for l in luts),
+        grid_hw=(len(luts) * nty, ntx),
+        pano_hw=(len(luts) * nty * TILE_H, ntx * TILE_W), frame_hw=fhw)
+
+
+@partial(jax.jit, static_argnames=("pieces", "interpret"))
+def composite_tiled_planar_pieces(planar: jnp.ndarray, tlut: TiledLUT,
+                                  pieces: int,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """[N, 3, H, W] bfloat16 frames + a concat_tiled_luts LUT ->
+    [pieces, 3, Hb, Wb] bfloat16 warped windows (u8-quantized values).
+
+    Planar-out variant of composite_tiled_planar for the multiband video
+    path: one pallas launch for all windows and no HWC round-trip — the
+    tile-major kernel output untiles straight to [pieces, 3, Hb, Wb]."""
+    T = tlut.sx.shape[0]
+    nty_all, ntx = tlut.grid_hw
+    nty = nty_all // pieces
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, 1, 1, P), lambda t, *_: (0, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 3, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((3, T, 1, P), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(tlut.tile_cam, tlut.tile_org, tlut.sx, tlut.sy, tlut.gain, tlut.cidx,
+      planar)
+
+    res = out.reshape(3, pieces, nty, ntx, TILE_H, TILE_W) \
+             .transpose(1, 0, 2, 4, 3, 5) \
+             .reshape(pieces, 3, nty * TILE_H, ntx * TILE_W)
+    # same u8 quantization as composite_tiled_planar (0..255 integers are
+    # exact in bfloat16), kept in bf16 for the downstream pyramid chain
+    return jnp.clip(jnp.round(res), 0, 255).astype(jnp.bfloat16)
