@@ -324,12 +324,11 @@ def main():
                 from stitchingvideo_tpu.blend.multiband_video import \
                     multiband_video_frame as _mbf
                 stmb, crop_yx = vs._mbtlut
-                # planar bf16 frame batches (layout-safe kernel input; see
-                # multiband_video.to_planar_bf16)
-                Bm = 4
+                # planar int8 frame batches (value-128; see
+                # composite_mat.frames_to_planar_i8)
+                Bm = 8
                 mb_batches = [jax.device_put(jnp.asarray(
-                    rng.integers(0, 255, (Bm, n, 3, fh, fw)).astype(np.float32)
-                    ).astype(jnp.bfloat16))
+                    rng.integers(-128, 127, (Bm, n, 3, fh, fw), np.int8)))
                     for _ in range(2)]
 
                 @jax.jit

@@ -113,10 +113,14 @@ def build_multiband_state(reg, frame_hw: Tuple[int, int],
     corners = np.asarray(reg.corners)
 
     # -- virtual-camera windows ------------------------------------------
+    # window extents follow the SEAM-owned footprint (not the full valid
+    # footprint): every per-camera term is seam-masked before the pyramids,
+    # so valid-but-unowned content contributes nothing anywhere — narrower
+    # windows shrink the whole per-frame pyramid chain
     pieces = []                       # (cam, ax, x0r, x1r)
     for i in range(n):
         cx, cy = int(corners[i, 0]), int(corners[i, 1])
-        for x0r, x1r in _column_pieces(valid_np[i]):
+        for x0r, x1r in _column_pieces(seam_np[i]):
             cx0 = max(0, cx + x0r)
             cx1 = min(CWb, cx + x1r)
             if cx1 <= cx0:
@@ -152,28 +156,34 @@ def build_multiband_state(reg, frame_hw: Tuple[int, int],
         if hh <= 0 or ww <= 0:
             raise ValueError(f"camera {i}: empty window piece")
 
-        vv = valid_np[i, ry0:ry1, rc0:rc1]
+        # the frame path multiplies the warped window by the binary seam
+        # mask m0 — fold that mask into the LUT coverage instead: seam-
+        # unowned pixels become uncovered (-1), the kernel writes exact 0
+        # there, and whole seam-unowned tile GROUPs drop out of the launch
+        # grid via the used-groups compaction (materialize2_used)
+        sv = seam_np[i, ry0:ry1, rc0:rc1]
         cam_idx = np.full((CHb, Wb), -1, np.int32)
-        cam_idx[wy:wy + hh, wx:wx + ww] = np.where(vv, 0, -1)
+        cam_idx[wy:wy + hh, wx:wx + ww] = np.where(sv, 0, -1)
         sx = np.zeros((CHb, Wb), np.float32)
         sy = np.zeros((CHb, Wb), np.float32)
         gg = np.ones((CHb, Wb), np.float32)
         sx[wy:wy + hh, wx:wx + ww] = xm_np[i, ry0:ry1, rc0:rc1]
         sy[wy:wy + hh, wx:wx + ww] = ym_np[i, ry0:ry1, rc0:rc1]
         gg[wy:wy + hh, wx:wx + ww] = gn_np[i, ry0:ry1, rc0:rc1]
-        m_w[p, wy:wy + hh, wx:wx + ww] = seam_np[i, ry0:ry1, rc0:rc1]
+        m_w[p, wy:wy + hh, wx:wx + ww] = sv
 
         lut_p = CompositeLUT(cam_idx=jnp.asarray(cam_idx),
                              src_x=jnp.asarray(sx), src_y=jnp.asarray(sy),
                              gain=jnp.asarray(gg))
         tl = build_tiled_lut(lut_p, tuple(frame_hw))
-        if int(tl.n_fallback) != 0:
-            raise ValueError(f"camera {i} piece {p}: "
-                             f"{int(tl.n_fallback)} window-overflow tiles")
+        # window-overflow tiles (strong local warp curvature) are fine: the
+        # mat2 pieces kernel overlays them with the exact XLA gather
         luts.append(tl)
 
     from ..ops.pallas.composite import concat_tiled_luts
-    warp_lut = jax.device_put(concat_tiled_luts(luts, piece_cam))
+    from ..ops.pallas.composite_mat2 import materialize2_used
+    warp_lut = jax.device_put(
+        materialize2_used(concat_tiled_luts(luts, piece_cam)))
     gm, recip = _mask_state(jnp.asarray(m_w), tuple(piece_ax),
                             (CHp, CWp), bands)
     y0, y1, x0, x1 = crop if crop is not None else (0, CH, 0, CW)
@@ -208,7 +218,9 @@ def _mask_state(m_w, piece_ax, canvas_hw, bands):
 def to_planar_bf16(frames_u8: jnp.ndarray) -> jnp.ndarray:
     """[N,H,W,3] u8 -> [N,3,H,W] bf16. MUST run as its own dispatch: a
     transpose fused into the same jit as the warp kernels gets folded into
-    a non-default operand layout that Mosaic rejects (see composite_tiled)."""
+    a non-default operand layout that Mosaic rejects (see composite_tiled).
+    (Legacy input format of the V1 warp; the mat2 frame path takes int8 —
+    see ops.pallas.composite_mat.frames_to_planar_i8.)"""
     return frames_u8.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
 
 
@@ -218,22 +230,24 @@ def _bblur_up(x_bf16: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("interpret", "crop_yx"))
-def multiband_video_frame(planar_bf16: jnp.ndarray, st: MultibandVideoState,
+def multiband_video_frame(planar_i8: jnp.ndarray, st: MultibandVideoState,
                           crop_yx: Tuple[int, int] = (0, 0),
                           interpret: bool = False) -> jnp.ndarray:
-    """[N,3,H,W] bfloat16 planar frames (see to_planar_bf16) ->
-    blended [3, outH, outW] uint8."""
-    from ..ops.pallas.composite import composite_tiled_planar_pieces
+    """[N,3,H,W] int8 planar frames (value-128, see
+    composite_mat.frames_to_planar_i8) -> blended [3, outH, outW] uint8."""
+    from ..ops.pallas.composite_mat2 import composite_mat2_planar_pieces
 
     Nv = len(st.piece_cam)
     CHp, CWp = st.canvas_hw
     CHb, Wb = st.buf_hw
     bands = st.bands
 
-    # -- warp every piece into its window: ONE kernel launch, planar out --
-    x = composite_tiled_planar_pieces(planar_bf16, st.warp_lut, Nv,
-                                      interpret=interpret)
-    x = x * st.m0[:, None]                           # [Nv, 3, CHb, Wb] bf16
+    # -- warp every piece into its window: mat2 kernels (int8 DMAs, short
+    # easy windows, seam-unowned groups skipped); the seam mask m0 is folded
+    # into the LUT so the output is already masked
+    x = composite_mat2_planar_pieces(planar_i8, st.warp_lut, Nv,
+                                     interpret=interpret)
+    # [Nv, 3, CHb, Wb] bf16
 
     # -- window image pyramids + per-level normalized contributions -------
     gp = ppyr.gaussian_pyramid_p(x.reshape(Nv * 3, CHb, Wb), bands)

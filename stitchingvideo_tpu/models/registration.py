@@ -55,6 +55,13 @@ class Registration:
     # None (legacy checkpoints) means "unknown — treat canvas_wh as covered".
     extent_wh: Tuple[int, int] = flax.struct.field(pytree_node=False,
                                                    default=None)
+    # indices into the ORIGINAL rig frame list of the cameras this
+    # registration kept (the match graph's biggest component,
+    # matchers.cpp leaveBiggestComponent parity). None (legacy
+    # checkpoints) means identity — all rig cameras kept, in order. The
+    # video hot loop selects frames through this before compositing.
+    src_indices: Tuple[int, ...] = flax.struct.field(pytree_node=False,
+                                                     default=None)
 
     @property
     def n_cameras(self) -> int:
@@ -82,6 +89,9 @@ class Registration:
             "roi_hw": np.asarray(self.roi_hw),
             "warp_kind": np.asarray(self.warp_kind),
             "warp_scale": np.asarray(self.warp_scale),
+            "src_indices": np.asarray(self.src_indices
+                                      if self.src_indices is not None
+                                      else np.arange(self.xmaps.shape[0])),
         }
 
     @classmethod
@@ -99,7 +109,10 @@ class Registration:
                               if "extent_wh" in d else None),
                    roi_hw=tuple(int(x) for x in np.asarray(d["roi_hw"])),
                    warp_kind=str(np.asarray(d["warp_kind"])),
-                   warp_scale=float(np.asarray(d["warp_scale"])))
+                   warp_scale=float(np.asarray(d["warp_scale"])),
+                   src_indices=(tuple(int(i) for i in
+                                      np.asarray(d["src_indices"]))
+                                if "src_indices" in d else None))
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, **self.state_dict())

@@ -414,6 +414,7 @@ class Stitcher:
             warp_kind=kind,
             warp_scale=float(c_scale),
             extent_wh=(EW, EH),
+            src_indices=tuple(int(i) for i in reg.indices),
         ), reg, compose_scale
 
     # ------------------------------------------------------------------

@@ -142,6 +142,27 @@ def _class_counts(tlut: TiledLUT):
     return group_easy.sum().astype(jnp.int32), tlut.n_fallback
 
 
+def _group_used(tlut: TiledLUT):
+    """[Tg] bool: group contains at least one covered pixel."""
+    T = tlut.sx.shape[0]
+    Tg = -(-T // GROUP)
+    covered = (tlut.cidx[:, 0, :] >= 0).any(axis=1)
+    covered = jnp.concatenate([covered, jnp.zeros(Tg * GROUP - T, bool)])
+    return covered.reshape(Tg, GROUP).any(axis=1)
+
+
+@jax.jit
+def _class_counts_used(tlut: TiledLUT):
+    """(used & easy count, used count, fallback count) — for LUTs with many
+    fully-uncovered tiles (the multiband window layout), where skipping
+    unused groups halves the kernel grid."""
+    cam, is_a, _org, _band, _xl = _per_tile_fields(tlut)
+    group_easy, _, _ = _easy_split(tlut, cam, is_a, tlut.sy[:, 0, :])
+    used = _group_used(tlut)
+    return ((group_easy & used).sum().astype(jnp.int32),
+            used.sum().astype(jnp.int32), tlut.n_fallback)
+
+
 def _materialize2(tlut: TiledLUT, frame_hw=None) -> MatLUT2:
     """Two-class build, fully device-resident.
 
@@ -159,6 +180,58 @@ def _materialize2(tlut: TiledLUT, frame_hw=None) -> MatLUT2:
 
 @partial(jax.jit, static_argnames=("tg_easy", "n_fb"))
 def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
+    cam, is_a, _org, _band, _xl = _per_tile_fields(tlut)
+    group_easy, _, _ = _easy_split(tlut, cam, is_a, tlut.sy[:, 0, :])
+    # easy groups first; the bucketed remainder of easy groups runs as hard
+    # (hard windows are valid for every non-fallback tile)
+    order = jnp.argsort(~group_easy, stable=True).astype(jnp.int32)
+    return _pack_classes(tlut, order[:tg_easy], order[tg_easy:], None,
+                         n_fb, scratch=False)
+
+
+def materialize2_used(tlut: TiledLUT, bucket: int = BUCKET) -> MatLUT2:
+    """Used-groups-only two-class build: groups with zero covered pixels are
+    dropped from the kernel grid entirely (their output blocks stay whatever
+    the caller initialized them to — composite_mat2_planar_pieces zero-fills).
+    For sparse layouts (the multiband window LUTs, where the seam mask is
+    folded into cam_idx) this roughly halves the launch grid. `bucket` sets
+    the class-count compile-cache granularity (the default suits product-size
+    LUTs; tests use a small bucket so compaction is visible on tiny grids)."""
+    Tg = -(-tlut.sx.shape[0] // GROUP)
+    n_easy_u, n_used, n_fb = (int(x) for x in _class_counts_used(tlut))
+    tg_easy = (n_easy_u // bucket) * bucket   # bucket DOWN: remainder = hard
+    # bucket UP (pads write the scratch block), clamped so padding never
+    # exceeds the real group count on tiny grids
+    tg_hard = min(-(-max(n_used - tg_easy, 0) // bucket) * bucket, Tg)
+    n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    return _materialize2_used_jit(tlut, jnp.int32(n_used), tg_easy, tg_hard,
+                                  n_fb_b)
+
+
+@partial(jax.jit, static_argnames=("tg_easy", "tg_hard", "n_fb"))
+def _materialize2_used_jit(tlut: TiledLUT, n_used, tg_easy: int, tg_hard: int,
+                           n_fb: int) -> MatLUT2:
+    cam, is_a, _org, _band, _xl = _per_tile_fields(tlut)
+    group_easy, _, _ = _easy_split(tlut, cam, is_a, tlut.sy[:, 0, :])
+    used = _group_used(tlut)
+    Tg = used.shape[0]
+    # used&easy first, then used&hard; unused groups sort last and are cut
+    rank = jnp.where(used & group_easy, 0, jnp.where(used, 1, 2))
+    order = jnp.argsort(rank, stable=True).astype(jnp.int32)
+    # hard class: real entries order[tg_easy:n_used]; bucket-pad entries
+    # recompute an arbitrary real group but write to the scratch block
+    n_hard_real = n_used - tg_easy
+    idx = jnp.arange(tg_hard, dtype=jnp.int32)
+    meta_pos = jnp.where(idx < n_hard_real, tg_easy + idx, idx - n_hard_real)
+    hard_meta = order[jnp.minimum(meta_pos, Tg - 1)]
+    hard_gid = jnp.where(idx < n_hard_real, hard_meta, jnp.int32(Tg))
+    return _pack_classes(tlut, order[:tg_easy], hard_meta, hard_gid,
+                         n_fb, scratch=True)
+
+
+@partial(jax.jit, static_argnames=("n_fb", "scratch"))
+def _pack_classes(tlut: TiledLUT, easy_ids, hard_ids, hard_gid,
+                  n_fb: int, scratch: bool) -> MatLUT2:
     T = tlut.sx.shape[0]
     Tg = -(-T // GROUP)
     Tpad = Tg * GROUP
@@ -166,9 +239,7 @@ def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
     cam, is_a, org, band, xl = _per_tile_fields(tlut)
     sy = tlut.sy[:, 0, :]
     group_easy, oy_e0, oy_e1 = _easy_split(tlut, cam, is_a, sy)
-    # easy groups first; the bucketed remainder of easy groups runs as hard
-    # (hard windows are valid for every non-fallback tile)
-    order = jnp.argsort(~group_easy, stable=True).astype(jnp.int32)
+    del group_easy
 
     def padT(a, fill=0):
         return jnp.pad(a, ((0, Tpad - T),) + ((0, 0),) * (a.ndim - 1),
@@ -223,8 +294,10 @@ def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
             tile_band=band_pad[tidx].reshape(-1).astype(jnp.int32),
             gid=group_ids)
 
-    easy = build_class(order[:tg_easy], WIN_HE, org_easy)
-    hard = build_class(order[tg_easy:], WIN_HH, org_pad)
+    easy = build_class(easy_ids, WIN_HE, org_easy)
+    hard = build_class(hard_ids, WIN_HH, org_pad)
+    if hard_gid is not None:
+        hard = hard.replace(gid=hard_gid)
 
     if n_fb:
         fb_order = jnp.argsort(~tlut.fallback, stable=True)[:n_fb] \
@@ -245,7 +318,8 @@ def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
                    fb_sx=fb_sx, fb_sy=fb_sy, fb_gain=fb_gain,
                    grid_hw=tlut.grid_hw, pano_hw=tlut.pano_hw,
                    frame_hw=tlut.frame_hw, n_tiles=T,
-                   tg_easy=tg_easy, tg_hard=Tg - tg_easy, n_fb=n_fb)
+                   tg_easy=easy_ids.shape[0], tg_hard=hard_ids.shape[0],
+                   n_fb=n_fb, scratch_slot=scratch)
 
 
 @partial(jax.jit, static_argnames=("win_h",))
@@ -496,3 +570,46 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
               .transpose(0, 1, 3, 2, 4) \
               .reshape(3, nty * TILE_H, ntx * TILE_W)[:, :Hp, :Wp]
     return pano
+
+
+@partial(jax.jit, static_argnames=("pieces", "interpret"))
+def composite_mat2_planar_pieces(planar_i8: jnp.ndarray, ml: MatLUT2,
+                                 pieces: int,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """[N, 3, H, W] int8 frames (value-128) + a materialize2_used LUT over a
+    concat_tiled_luts window stack -> [pieces, 3, Hb, Wb] bfloat16 warped
+    windows (u8-quantized values, gain and the folded coverage mask applied;
+    uncovered pixels are exactly 0).
+
+    mat2-kernel replacement of composite.composite_tiled_planar_pieces for
+    the multiband video path: int8 window DMAs, short easy windows, and the
+    used-groups compaction skip the (many) fully-uncovered window tiles. The
+    output is zero-initialized so skipped groups read as uncovered."""
+    Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
+    frames_sh = shift_planar(planar_i8)
+    zeros = jnp.zeros((3, Tg, GPAD, P), jnp.float32)
+    if ml.tg_hard > 0:
+        out = _class_call(frames_sh, ml.hard, WIN_HH, Tg, zeros, interpret)
+        if ml.tg_easy > 0:
+            out = _class_call(frames_sh, ml.easy, WIN_HE, Tg, out, interpret)
+    else:
+        out = _class_call(frames_sh, ml.easy, WIN_HE, Tg, zeros, interpret)
+
+    TgR = -(-ml.n_tiles // GROUP)     # drop the scratch block before untiling
+    out = out[:, :TgR, :GROUP, :].reshape(3, TgR * GROUP, P)
+    if ml.n_fb:
+        # overflow tiles (strong local warp curvature): exact-gather overlay,
+        # same as the pano path
+        vals = _fallback_values(planar_i8, ml)
+        cur = out[:, ml.fb_tid, :]
+        merged = jnp.where(ml.fb_valid[None, :, None], vals, cur)
+        out = out.at[:, ml.fb_tid, :].set(merged)
+    out = out[:, :ml.n_tiles]
+    nty_all, ntx = ml.grid_hw
+    nty = nty_all // pieces
+    res = out.reshape(3, pieces, nty, ntx, TILE_H, TILE_W) \
+             .transpose(1, 0, 2, 4, 3, 5) \
+             .reshape(pieces, 3, nty * TILE_H, ntx * TILE_W)
+    # same u8 quantization as the gather reference (0..255 ints are exact in
+    # bfloat16), kept bf16 for the downstream pyramid chain
+    return jnp.clip(jnp.round(res), 0, 255).astype(jnp.bfloat16)

@@ -400,6 +400,27 @@ class VideoStitcher:
                             src_y=fit(lut.src_y, 0.0),
                             gain=fit(lut.gain, 1.0))
 
+    def _select_frames(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+        """Select the registration's kept cameras from the full rig frame
+        list (leaveBiggestComponent parity, matchers.cpp:552-573: a
+        registration may drop low-confidence cameras, so the hot loop must
+        feed the kept subset in component order — otherwise the LUT's camera
+        indices silently address the wrong frames). Only applied when the
+        rig size differs from the registration's camera count, so callers
+        that already pass the kept subset are untouched."""
+        with self._lock:
+            reg = self._reg
+        if reg is None:
+            return frames
+        idx = reg.src_indices
+        if idx is None or len(frames) == reg.n_cameras:
+            return frames
+        if max(idx) >= len(frames):
+            raise ValueError(
+                f"registration expects rig camera indices {idx} but only "
+                f"{len(frames)} frames were provided")
+        return [frames[i] for i in idx]
+
     # -- hot path ------------------------------------------------------
     def composite(self, frames: List[np.ndarray]) -> np.ndarray:
         """One frame through the cached registration. HWC uint8.
@@ -411,6 +432,7 @@ class VideoStitcher:
                         fields + seam masks every frame (beyond-reference
                         quality mode; heavier).
         """
+        frames = self._select_frames(frames)
         mode = self.cfg.video.compose_mode
         if mode == "lut":
             return np.asarray(
@@ -427,12 +449,12 @@ class VideoStitcher:
             with self._lock:
                 mbt = self._mbtlut
             if mbt is not None:
-                from ..blend.multiband_video import (multiband_video_frame,
-                                                     to_planar_bf16)
-                from ..ops.pallas.composite_mat import planar_to_hwc
+                from ..blend.multiband_video import multiband_video_frame
+                from ..ops.pallas.composite_mat import (frames_to_planar_i8,
+                                                        planar_to_hwc)
                 st, crop_yx = mbt
                 interpret = jax.default_backend() != "tpu"
-                planar = to_planar_bf16(jnp.asarray(np.stack(frames)))
+                planar = frames_to_planar_i8(jnp.asarray(np.stack(frames)))
                 out = multiband_video_frame(planar, st, crop_yx=crop_yx,
                                             interpret=interpret)
                 return np.asarray(planar_to_hwc(out))

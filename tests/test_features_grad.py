@@ -75,8 +75,13 @@ def test_grad_descriptor_rotation_tolerant(rng):
     assert hits / tot > 0.5, f"{hits}/{tot} rotated matches"
 
 
-def test_match_pair_float_l2(rng):
-    """Float descriptors route through the L2 metric and self-match."""
+def test_match_pair_float_l2():
+    """Float descriptors route through the L2 metric and self-match.
+
+    Uses a pinned local generator: the 2-NN ratio test is threshold-
+    sensitive to the random draw, and the session rng's stream shifts
+    whenever tests are added/reordered."""
+    rng = np.random.default_rng(12)
     d = rng.normal(size=(64, 128)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     v = np.ones(64, bool)

@@ -75,3 +75,53 @@ def test_mat2_per_tile_fallback(rng):
     diff = np.abs(hwc - ref)
     assert np.median(diff) <= 1
     assert (diff <= 4).mean() > 0.999
+
+
+def test_mat2_used_compaction_pieces(rng):
+    """materialize2_used + composite_mat2_planar_pieces: sparse per-piece
+    coverage (the multiband window layout) drops fully-uncovered groups from
+    the launch grid, matches the gather reference on covered pixels, and
+    writes exact 0 on uncovered ones."""
+    from stitchingvideo_tpu.ops.pallas.composite import (build_tiled_lut,
+                                                         concat_tiled_luts)
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+        GROUP, composite_mat2_planar_pieces, materialize2_used)
+    from stitchingvideo_tpu.video.lut import CompositeLUT
+
+    frames, lut = _make_state(rng)
+    cam = np.array(lut.cam_idx)
+    luts, cams, masks = [], [], []
+    # masks stay inside one camera's column span (the source-coord map jumps
+    # at camera boundaries, which would overflow the 256-wide hat band)
+    for p, keep in enumerate([(slice(0, 16), slice(0, 256)),
+                              (slice(40, 56), slice(512, 640))]):
+        m = np.zeros_like(cam, bool)
+        m[keep] = True
+        m &= cam >= 0
+        plut = CompositeLUT(
+            cam_idx=jnp.asarray(np.where(m, 0, -1).astype(np.int32)),
+            src_x=lut.src_x, src_y=lut.src_y, gain=lut.gain)
+        tl = build_tiled_lut(plut, (128, 512))
+        assert int(tl.n_fallback) == 0
+        luts.append(tl)
+        cams.append(int(cam[m][0]) if m.any() else 0)
+        masks.append(m)
+    ml = materialize2_used(concat_tiled_luts(luts, cams), bucket=8)
+    Tg_all = -(-ml.n_tiles // GROUP)
+    assert ml.scratch_slot
+    assert ml.tg_easy + ml.tg_hard < Tg_all   # compaction really dropped work
+
+    out = composite_mat2_planar_pieces(frames_to_planar_i8(frames), ml, 2,
+                                       interpret=True)
+    out = np.asarray(out).astype(np.int32)          # [2, 3, Hb, Wb]
+    assert out.shape[0] == 2 and out.shape[1] == 3
+    for p, (m, c) in enumerate(zip(masks, cams)):
+        plut = CompositeLUT(
+            cam_idx=jnp.asarray(np.where(m, c, -1).astype(np.int32)),
+            src_x=lut.src_x, src_y=lut.src_y, gain=lut.gain)
+        ref = np.asarray(composite_frame_u8(frames, plut)).astype(np.int32)
+        got = out[p].transpose(1, 2, 0)[:ref.shape[0], :ref.shape[1]]
+        diff = np.abs(got - ref)[m[:, :, None].repeat(3, 2)]
+        assert np.median(diff) <= 1
+        assert (diff <= 4).mean() > 0.999, (p, (diff > 4).mean())
+        assert (got[~m] == 0).all()                  # uncovered exact zero

@@ -449,3 +449,28 @@ def test_concurrent_composite_during_swap(scene):
         t.join(timeout=60)
     assert not errors, errors
     assert vs.registrations == 3
+
+
+@pytest.mark.slow
+def test_video_component_subset_rig(scene):
+    """A rig camera that matches nothing (leaveBiggestComponent drops it,
+    matchers.cpp:552-573): the registration records src_indices and the hot
+    loop selects the kept subset from the FULL rig frame list — before this,
+    the LUT's camera indices silently addressed the wrong frames (or the
+    blend paths crashed on the size mismatch)."""
+    views, *_ = scene
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 255, views[0].shape, np.uint8)
+    rig = list(views) + [noise]
+
+    vs = VideoStitcher(_cfg())
+    vs.register(rig)
+    reg = vs._reg
+    assert reg.src_indices is not None
+    assert len(reg.src_indices) < len(rig)          # noise camera dropped
+    assert set(reg.src_indices) <= set(range(len(views)))
+
+    pano_full_rig = vs.composite(rig)               # full rig: auto-subset
+    pano_kept = vs.composite([rig[i] for i in reg.src_indices])
+    np.testing.assert_array_equal(pano_full_rig, pano_kept)
+    assert (pano_full_rig.sum(-1) > 0).mean() > 0.3
