@@ -64,6 +64,54 @@ def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
     return (int(tl_u), int(tl_v), int(br_u), int(br_v))
 
 
+@partial(jax.jit, static_argnames=("kind", "w", "h"))
+def _roi_scan_batch(kind: str, scale, r_kinvs, w: int, h: int):
+    """[n, 3, 3] -> [n, 4] forward extrema, one dispatch for all cameras."""
+    return jax.vmap(lambda rk: _roi_scan(kind, scale, rk, w, h))(r_kinvs)
+
+
+def _np_camera_maps(Ks, Rs):
+    """Host 3x3 camera matrices (numpy): (r_kinv, k_rinv) stacks. Matches
+    proj.camera_maps without a device dispatch per camera — registration
+    calls this 2n times per pass, which on the remote relay costs a round
+    trip each (the reason detect_result_roi_batch exists)."""
+    Ks = np.asarray(Ks, np.float32)
+    Rs = np.asarray(Rs, np.float32)
+    Kinv = np.linalg.inv(Ks)
+    return Rs @ Kinv, Ks @ np.swapaxes(Rs, -1, -2)
+
+
+def detect_result_roi_batch(kind: str, scale: float, Ks, Rs, src_sizes):
+    """detect_result_roi for n cameras with ONE device dispatch + ONE fetch
+    (vs n of each): src_sizes is a list of (w, h). Falls back to per-camera
+    scans when source sizes differ (the batched grid needs one static
+    shape). Returns a list of (tl_x, tl_y, br_x, br_y)."""
+    if len(set(src_sizes)) != 1:
+        return [detect_result_roi(kind, scale, K, R, s)
+                for K, R, s in zip(Ks, Rs, src_sizes)]
+    w, h = src_sizes[0]
+    r_kinvs, k_rinvs = _np_camera_maps(np.stack(Ks), np.stack(Rs))
+    ext = np.asarray(_roi_scan_batch(kind, float(scale),
+                                     jnp.asarray(r_kinvs), w, h))
+    rois = []
+    for i in range(len(src_sizes)):
+        tl_u, br_u, tl_v, br_v = (float(ext[i, 0]), float(ext[i, 1]),
+                                  float(ext[i, 2]), float(ext[i, 3]))
+        if kind == "spherical":
+            # pole visibility (src/warpers.cpp:171-212), host math
+            for pole_dir, extend_to in (((0.0, -1.0, 0.0), 0.0),
+                                        ((0.0, 1.0, 0.0),
+                                         float(np.pi) * scale)):
+                p = k_rinvs[i] @ np.asarray(pole_dir, np.float32)
+                if p[2] > 0:
+                    px, py = p[0] / p[2], p[1] / p[2]
+                    if 0 <= px < w and 0 <= py < h:
+                        tl_v = min(tl_v, extend_to)
+                        br_v = max(br_v, extend_to)
+        rois.append((int(tl_u), int(tl_v), int(br_u), int(br_v)))
+    return rois
+
+
 @partial(jax.jit, static_argnames=("kind", "shape"))
 def rasterize_backward_map(kind: str, scale, k_rinv: jnp.ndarray,
                            corner_xy: jnp.ndarray, shape: Tuple[int, int]):

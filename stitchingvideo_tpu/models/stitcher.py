@@ -25,7 +25,8 @@ from ..blend.feather import feather_blend, feather_weights
 from ..blend.multiband import multiband_blend, num_bands_for, pad_for_bands
 from ..config import StitchConfig
 from ..geometry import projections as proj
-from ..geometry.warp import detect_result_roi, rasterize_backward_map
+from ..geometry.warp import (_np_camera_maps, detect_result_roi_batch,
+                             rasterize_backward_map)
 from ..ops.filters import dilate
 from ..ops.remap import remap
 from ..photometric.exposure import blocks_gain_maps, gain_compensator, upsample_gain
@@ -234,18 +235,22 @@ class Stitcher:
         s_scale = warped_image_scale * seam_work_aspect
         s_corners: List[Tuple[int, int]] = []
         s_shapes: List[Tuple[int, int]] = []
-        k_rinvs = []
-        for i in range(n):
-            K = np.asarray(cams.K()[i]).astype(np.float64)
-            K[0] *= seam_work_aspect
-            K[1] *= seam_work_aspect
-            R = np.asarray(cams.R[i])
-            hs, ws = seam_shapes[i]
-            tlx, tly, brx, bry = detect_result_roi(kind, s_scale, K, R, (ws, hs))
+        # one fetch of all camera matrices + one batched ROI scan: the old
+        # per-camera detect_result_roi/camera_maps loop cost ~4n relay round
+        # trips per registration pass (the dominant warm-re-reg overhead)
+        K_all = np.asarray(cams.K()).astype(np.float64)
+        R_all = np.asarray(cams.R)
+        Ks_s = K_all.copy()
+        Ks_s[:, 0] *= seam_work_aspect
+        Ks_s[:, 1] *= seam_work_aspect
+        rois_s = detect_result_roi_batch(
+            kind, s_scale, list(Ks_s), list(R_all),
+            [(sh[1], sh[0]) for sh in seam_shapes])
+        _, k_rinv_all = _np_camera_maps(Ks_s.astype(np.float32), R_all)
+        k_rinvs = list(k_rinv_all)
+        for i, (tlx, tly, brx, bry) in enumerate(rois_s):
             s_corners.append((tlx, tly))
             s_shapes.append((_bucket(bry - tly + 1), _bucket(brx - tlx + 1)))
-            _, k_rinv = proj.camera_maps(K.astype(np.float32), R)
-            k_rinvs.append(np.asarray(k_rinv))
         shape = (self._sticky("seam_h", max(sh[0] for sh in s_shapes)),
                  self._sticky("seam_w", max(sh[1] for sh in s_shapes)))
         if len(set(seam_shapes)) == 1:
@@ -341,29 +346,25 @@ class Stitcher:
         compose_work_aspect = compose_scale / work_scale
         c_scale = warped_image_scale * compose_work_aspect
 
-        c_corners = []
-        c_shapes = []
-        Ks = []
-        for i in range(n):
-            K = np.asarray(cams.K()[i]).astype(np.float64)
-            K[0] *= compose_work_aspect
-            K[1] *= compose_work_aspect
-            Ks.append(K)
-            hc = round(full_kept[i].shape[0] * compose_scale)
-            wc = round(full_kept[i].shape[1] * compose_scale)
-            tlx, tly, brx, bry = detect_result_roi(kind, c_scale, K,
-                                                   np.asarray(cams.R[i]), (wc, hc))
-            c_corners.append((tlx, tly))
-            c_shapes.append((bry - tly + 1, brx - tlx + 1))
+        Ks = K_all.copy()
+        Ks[:, 0] *= compose_work_aspect
+        Ks[:, 1] *= compose_work_aspect
+        c_sizes = [(round(full_kept[i].shape[1] * compose_scale),
+                    round(full_kept[i].shape[0] * compose_scale))
+                   for i in range(n)]
+        rois_c = detect_result_roi_batch(kind, c_scale, list(Ks),
+                                         list(R_all), c_sizes)
+        c_corners = [(tlx, tly) for tlx, tly, _brx, _bry in rois_c]
+        c_shapes = [(bry - tly + 1, brx - tlx + 1)
+                    for _tlx, tly, brx, bry in rois_c]
+        Ks = list(Ks)
 
         Hr = self._sticky("roi_h", _bucket(max(s[0] for s in c_shapes), 128))
         Wr = self._sticky("roi_w", _bucket(max(s[1] for s in c_shapes), 128))
 
         # device-side field build in ONE dispatch for all cameras — the maps
         # stay in HBM from rasterization straight into the Registration pytree
-        k_rinvs_c = np.stack([np.asarray(proj.camera_maps(
-            Ks[i].astype(np.float32), np.asarray(cams.R[i]))[1])
-            for i in range(n)])
+        k_rinvs_c = _np_camera_maps(np.stack(Ks).astype(np.float32), R_all)[1]
         wh_arr = np.array([[round(full_kept[i].shape[1] * compose_scale),
                             round(full_kept[i].shape[0] * compose_scale)]
                            for i in range(n)], np.float32)

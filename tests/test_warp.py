@@ -56,3 +56,34 @@ def test_build_maps_padding():
     assert xmap2.shape == (h + 7, w + 5)
     assert corner == corner2
     np.testing.assert_allclose(np.asarray(xmap2[:h, :w]), np.asarray(xmap), atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["plane", "cylindrical", "spherical",
+                                  "fisheye"])
+def test_roi_batch_matches_single(kind):
+    """detect_result_roi_batch (one dispatch for all cameras, numpy 3x3
+    math) agrees with the per-camera device path within 1 px of truncation
+    on every bound (float32 inverse rounding can land a bound on the far
+    side of an integer)."""
+    from stitchingvideo_tpu.geometry.warp import (detect_result_roi,
+                                                  detect_result_roi_batch)
+    K, _ = _setup()
+    Ks, Rs = [], []
+    for a in (0.0, 0.12, -0.31, 0.55):
+        Ry = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                       [-np.sin(a), 0, np.cos(a)]], np.float32)
+        Ks.append(K.astype(np.float64))
+        Rs.append(Ry)
+    sizes = [(640, 480)] * len(Ks)
+    batch = detect_result_roi_batch(kind, 700.0, Ks, Rs, sizes)
+    for i, roi_b in enumerate(batch):
+        roi_s = detect_result_roi(kind, 700.0, Ks[i], Rs[i], sizes[i])
+        assert all(abs(a - b) <= 1 for a, b in zip(roi_b, roi_s)), \
+            (kind, i, roi_b, roi_s)
+    # mixed sizes fall back to the single path: exact agreement
+    sizes2 = list(sizes)
+    sizes2[1] = (512, 480)
+    batch2 = detect_result_roi_batch(kind, 700.0, Ks, Rs, sizes2)
+    for i, roi_b in enumerate(batch2):
+        assert roi_b == detect_result_roi(kind, 700.0, Ks[i], Rs[i],
+                                          sizes2[i])
