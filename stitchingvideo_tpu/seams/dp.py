@@ -2,10 +2,12 @@
 
 Parity class: DpSeamFinder COLOR / COLOR_GRAD (reference
 src/seam_finders.cpp:162-1049). The reference's 900-line implementation does
-component analysis plus a DP over the overlap; this TPU-era redesign keeps the
-essential semantics — a minimum-cost seam through the pairwise overlap where
-cost is the color difference (optionally gradient-normalized) — as a single
-vectorized DP sweep per pair (host numpy at seam scale; the slow path).
+connected-component analysis plus a DP over each overlap component; this
+TPU-era redesign keeps those semantics — the pairwise overlap is split into
+connected components (wrap-around pairs overlap at both panorama ends) and a
+minimum-cost seam is swept through each, where cost is the color difference
+(optionally gradient-normalized) — as vectorized DP sweeps (host numpy at
+seam scale; the slow path).
 """
 from __future__ import annotations
 
@@ -69,10 +71,35 @@ def _dp_seam(cost: np.ndarray) -> np.ndarray:
     return xs
 
 
+def _overlap_components(overlap: np.ndarray):
+    """Connected components (4-neighborhood) of the overlap region — the
+    reference's component analysis (seam_finders.cpp findComponents,
+    :254-332): a pair can overlap in several disjoint regions (e.g. both
+    ends of a wrap-around panorama) and each gets its own seam. Falls back
+    to one component without cv2."""
+    try:
+        import cv2
+        ncomp, lab = cv2.connectedComponents(overlap.astype(np.uint8),
+                                             connectivity=4)
+        return [lab == k for k in range(1, ncomp)]
+    except Exception:
+        return [overlap]
+
+
 def _resolve_pair(img1, img2, m1, m2, cost_type):
     overlap = m1 & m2
     if not overlap.any():
         return m1, m2
+    new1, new2 = m1.copy(), m2.copy()
+    for comp in _overlap_components(overlap):
+        new1, new2 = _cut_component(img1, img2, m1, m2, new1, new2, comp,
+                                    cost_type)
+    return new1, new2
+
+
+def _cut_component(img1, img2, m1, m2, new1, new2, overlap, cost_type):
+    """DP-cut ONE overlap component; writes only its own pixels (components
+    are disjoint, so successive cuts never clash)."""
     ys, xs = np.nonzero(overlap)
     y0, y1 = int(ys.min()), int(ys.max()) + 1
     x0, x1 = int(xs.min()), int(xs.max()) + 1
@@ -108,10 +135,8 @@ def _resolve_pair(img1, img2, m1, m2, cost_type):
     keep1_t = left_side if first_left else ~left_side
     keep1 = keep1_t.T if transpose else keep1_t
 
-    new1 = m1.copy()
-    new2 = m2.copy()
-    new1[y0:y1, x0:x1] = m1[y0:y1, x0:x1] & (~ov | keep1)
-    new2[y0:y1, x0:x1] = m2[y0:y1, x0:x1] & (~ov | ~keep1)
+    new1[y0:y1, x0:x1] = new1[y0:y1, x0:x1] & (~ov | keep1)
+    new2[y0:y1, x0:x1] = new2[y0:y1, x0:x1] & (~ov | ~keep1)
     return new1, new2
 
 

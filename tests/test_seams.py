@@ -252,3 +252,32 @@ def test_dp_seam_cost_parity_with_cv2(orient, cost):
     assert ((ours[0] | ours[1]) == (masks[0] | masks[1])).all()
     our_cost = _canvas_cut_cost(i1c, i2c, ours[0], ours[1], cost)
     assert our_cost <= cv_cost * 1.1 + 1e-3, (orient, cost, our_cost, cv_cost)
+
+
+def test_dp_seams_multi_component_overlap(rng):
+    """A pair overlapping in TWO disjoint regions (the wrap-around case):
+    each component gets its own DP seam (reference findComponents,
+    seam_finders.cpp:254-332). The single-bbox sweep this replaces cut one
+    seam through the inf-cost gap, assigning a whole component to one side."""
+    from stitchingvideo_tpu.seams.dp import dp_seams
+    H, W = 64, 96
+    img = rng.integers(0, 255, (H, W, 3)).astype(np.float32)
+    i1 = img + rng.normal(0, 2, (H, W, 3)).astype(np.float32)
+    i2 = img + rng.normal(0, 2, (H, W, 3)).astype(np.float32)
+    m1 = np.zeros((H, W), bool)
+    m2 = np.zeros((H, W), bool)
+    m1[:, :60] = True
+    m1[:, 80:] = True          # wrap-around piece
+    m2[:, 50:] = True
+    overlap = m1 & m2          # two disjoint strips: 50:60 and 80:96
+    out = dp_seams(np.stack([i1, i2]), np.stack([m1, m2]), "color")
+    o1, o2 = out[0], out[1]
+    # partition of the overlap, nothing lost outside it
+    assert not (o1 & o2).any()
+    assert ((o1 | o2) == (m1 | m2)).all()
+    # EACH component is split between the two images (each image has unique
+    # territory adjacent to each strip, so a sensible seam keeps both sides
+    # nonempty in both strips)
+    for sl in (np.s_[:, 50:60], np.s_[:, 80:96]):
+        ov = overlap[sl]
+        assert o1[sl][ov].any() and o2[sl][ov].any(), sl
