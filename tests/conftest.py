@@ -15,6 +15,18 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Per-MACHINE persistent compilation cache for the CPU test profile: most of
+# the suite's wall time is XLA CPU compiles repeated on every run. The
+# product cache (.jax_cache, committed) is TPU-only because CPU AOT
+# artifacts are machine-specific and can SIGILL elsewhere — so tests cache
+# under the user cache dir, never the repo.
+_cpu_cache = os.environ.get("STITCH_TEST_JAX_CACHE") or os.path.join(
+    os.path.expanduser("~"), ".cache", "stitchingvideo_tpu_test_xla")
+if _cpu_cache != "0":
+    os.makedirs(_cpu_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cpu_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
