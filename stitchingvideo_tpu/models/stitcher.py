@@ -47,6 +47,43 @@ def _bucket(x: int, q: int = 64) -> int:
     return -(-x // q) * q
 
 
+def _center_gauge(cams: Cameras, kind: str) -> Cameras:
+    """Rotate all cameras about the panorama's vertical axis so the rig's
+    azimuth span sits as far as possible from lon = ±pi.
+
+    For the atan2-based projections (cylindrical/spherical/mercator) a
+    camera whose warped footprint straddles the ±pi seam gets a forward ROI
+    spanning the ENTIRE wrap — the canvas inflates by up to ~25% with
+    duplicated content at both ends (observed 8896 vs 11520 px on the same
+    rig depending on the registration's arbitrary yaw gauge; the reference
+    binary has the same flaw — OpenCV detectResultRoi, warpers_inl.hpp:
+    144-163, never re-gauges). The estimated geometry has a free global-yaw
+    gauge: choosing it to center the largest azimuth gap at ±pi is
+    invisible to every pairwise relation and to wave correction (a rotation
+    about the wave-corrected vertical), it only normalizes the panorama's
+    horizontal placement."""
+    if kind not in ("cylindrical", "spherical", "mercator"):
+        return cams
+    R = np.asarray(cams.R, np.float64)
+    yaw = np.arctan2(R[:, 0, 2], R[:, 2, 2])
+    order = np.sort(yaw)
+    gaps = np.diff(np.concatenate([order, order[:1] + 2 * np.pi]))
+    g = int(np.argmax(gaps))
+    mid_gap = order[g] + gaps[g] / 2.0          # azimuth of the largest gap
+    delta = float((mid_gap + np.pi + np.pi) % (2 * np.pi) - np.pi)
+    # new yaw = yaw - delta puts mid_gap at ±pi (the farthest any seam
+    # crossing can be pushed from every footprint). A full-wrap rig
+    # (gap ~ 0) cannot avoid the seam; a near-identity shift is skipped to
+    # keep placement byte-stable across re-registrations.
+    if gaps[g] < 0.05 or abs(delta) < 0.02:
+        return cams
+    c, s = np.cos(-delta), np.sin(-delta)
+    Ry = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], np.float64)
+    Rn = (Ry[None] @ R).astype(np.float32)
+    return Cameras(focal=cams.focal, aspect=cams.aspect, ppx=cams.ppx,
+                   ppy=cams.ppy, R=jnp.asarray(Rn), t=cams.t)
+
+
 def _scale_for(megapix: float, w: int, h: int) -> float:
     if megapix <= 0:
         return 1.0
@@ -227,6 +264,7 @@ class Stitcher:
         cams = reg.cameras  # work-scale intrinsics, centered pp re-added
         warped_image_scale = reg.warped_image_scale
         kind = cfg.compose.warp_type
+        cams = _center_gauge(cams, kind)
 
         # ---- seam-scale warps (CLI :545-580) ----
         _seam_span = _tracer.span("seam_prep"); _seam_span.__enter__()
@@ -354,9 +392,19 @@ class Stitcher:
                    for i in range(n)]
         rois_c = detect_result_roi_batch(kind, c_scale, list(Ks),
                                          list(R_all), c_sizes)
+        # NB: unpack all four in one comprehension — an earlier version
+        # unpacked `_tlx` here and the `brx - tlx + 1` body silently captured
+        # the seam-stage loop's leftover `tlx` (comprehension bodies read the
+        # enclosing function scope), producing garbage widths: an inflated
+        # canvas AND negative clip widths that dropped whole cameras from
+        # the composite.
         c_corners = [(tlx, tly) for tlx, tly, _brx, _bry in rois_c]
         c_shapes = [(bry - tly + 1, brx - tlx + 1)
-                    for _tlx, tly, brx, bry in rois_c]
+                    for tlx, tly, brx, bry in rois_c]
+        if any(h <= 0 or w <= 0 for h, w in c_shapes):
+            raise AssertionError(
+                f"non-positive compose ROI shape: {c_shapes} (rois {rois_c})"
+                " — a zero-area clip window silently drops a camera")
         Ks = list(Ks)
 
         Hr = self._sticky("roi_h", _bucket(max(s[0] for s in c_shapes), 128))

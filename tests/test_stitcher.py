@@ -180,3 +180,66 @@ def test_stitcher_accessors():
     assert st.cameras() is not None
     assert sorted(st.component()) == [0, 1, 2]
     assert 0 < st.work_scale() <= 1.0
+
+
+def test_center_gauge_wrap_straddle():
+    """A rig whose azimuth span straddles lon=+-pi gets re-gauged so the
+    cylindrical canvas covers only the true footprint instead of the whole
+    2*pi wrap (the free global-yaw gauge of the rotation model; the
+    reference never normalizes it and pays an inflated canvas whenever the
+    arbitrary BA gauge lands a camera on the seam)."""
+    from stitchingvideo_tpu.geometry.warp import warp_roi
+    from stitchingvideo_tpu.models.camera import Cameras
+    from stitchingvideo_tpu.models.stitcher import _center_gauge
+
+    f, w, h = 50.0, 64, 48
+    yaws = np.deg2rad([165.0, 180.0, -165.0])  # cluster across the seam
+    def rot_y(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    R = np.stack([rot_y(a) for a in yaws])
+    cams = Cameras.create(focal=np.full(3, f), ppx=np.full(3, w / 2),
+                          ppy=np.full(3, h / 2), R=R)
+
+    out = _center_gauge(cams, "cylindrical")
+    Rn = np.asarray(out.R)
+    new_yaw = np.arctan2(Rn[:, 0, 2], Rn[:, 2, 2])
+    # rig re-centered away from the seam; relative geometry untouched
+    assert np.max(np.abs(new_yaw)) < np.deg2rad(40)
+    for i in range(3):
+        for j in range(3):
+            np.testing.assert_allclose(Rn[i] @ Rn[j].T,
+                                       R[i] @ R[j].T, atol=1e-5)
+    # the wave-corrected vertical is preserved (rotation about pano y)
+    np.testing.assert_allclose(Rn[:, 1, :], R[:, 1, :], atol=1e-6)
+
+    def union_w(c):
+        rois = [warp_roi("cylindrical", f, np.asarray(c.K())[i],
+                         np.asarray(c.R)[i], (w, h)) for i in range(3)]
+        x0 = min(r[0] for r in rois)
+        x1 = max(r[0] + r[2] for r in rois)
+        return x1 - x0
+    assert union_w(out) < union_w(cams) / 2  # straddle cost eliminated
+
+    # non-wrapping projections are left untouched
+    same = _center_gauge(cams, "plane")
+    np.testing.assert_allclose(np.asarray(same.R), R)
+
+
+def test_every_camera_contributes_and_canvas_bounded():
+    """Regression for a comprehension-scope capture bug (leftover seam-loop
+    `tlx` leaked into the compose ROI widths): the compose clip windows went
+    negative for some cameras — silently dropping them from the composite —
+    while other widths inflated the canvas past one full cylindrical wrap."""
+    views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=3)
+    cfg = _cfg(warp_type="cylindrical", blend_type="no", seam_find="voronoi",
+               expos_comp="no")
+    st = Stitcher(cfg)
+    reg, rres, _cs = st.estimate_transform(views)
+    v = np.asarray(reg.valid)
+    counts = v.reshape(v.shape[0], -1).sum(axis=1)
+    assert (counts > 0).all(), f"camera(s) with zero valid pixels: {counts}"
+    # one full wrap (2*pi*scale) + bucket pad bounds the canvas width
+    CW, _CH = reg.canvas_wh
+    assert CW <= 2 * np.pi * reg.warp_scale + 65, (CW, reg.warp_scale)
