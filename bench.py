@@ -280,7 +280,9 @@ def main():
     # reuses the planar int8 batches, so only on the Pallas path
     if reg_state is not None and path == "pallas_mat2_real_reg":
         try:
-            if vs.build_feather_state((fh, fw)):
+            if not vs.build_feather_state((fh, fw)):
+                result["feather_skipped"] = True
+            else:
                 from stitchingvideo_tpu.ops.pallas.composite_feather import \
                     composite_feather_planar as _fthr
                 fml = vs._ftlut[1]
@@ -320,7 +322,11 @@ def main():
             fml = None
             state = reg_state = None
             batches = None
-            if vs.build_multiband_state((fh, fw)):
+            if not vs.build_multiband_state((fh, fw)):
+                # a declined build (window overflow / OOM demotion) must be
+                # visible in the record, not an absent key
+                result["multiband_skipped"] = True
+            else:
                 from stitchingvideo_tpu.blend.multiband_video import \
                     multiband_video_frame as _mbf
                 stmb, crop_yx = vs._mbtlut
