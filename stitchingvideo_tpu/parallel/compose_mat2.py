@@ -8,9 +8,10 @@ no whole-canvas demotion when a LUT has fallback tiles (VERDICT r2 item 5).
 
 How the banding works: tiles are canvas-row-major and tile GROUPs are
 contiguous runs of tiles, so a horizontal band of the panorama is a
-contiguous range of group ids. The global MatLUT2's class arrays are in
-ascending-gid order within each class (stable argsort), so each band's easy
-(and hard) groups form a CONTIGUOUS SLICE of the global class arrays.
+contiguous range of group ids; each band's rows are gathered from the
+global class arrays by gid-range membership (the rows are NOT globally
+gid-ascending — easy counts bucket down, pushing leftover easy groups in
+front of the hard class — so membership, not run-slicing, is the rule).
 Per-band class counts differ (top/bottom bands have more hard groups), so
 each band's slice is padded to a uniform bucketed count with PAD groups:
 a pad group duplicates a real group's row but its gid points at a dedicated
@@ -86,18 +87,20 @@ def _uniform_count(gids: np.ndarray, ndev: int, per_band: int,
 def _band_slices(gids: np.ndarray, ndev: int, per_band: int, tgc_u: int):
     """[ndev, tgc_u] row indices into a class array + pad mask.
 
-    gids is ascending; band b's rows are the contiguous run with
-    gid // per_band == b. Pads duplicate the band's first row (or global
+    Band b's rows are wherever gid // per_band == b — NO ordering assumption
+    on gids: the hard class is [leftover-easy gids asc] ++ [hard gids asc]
+    (easy counts bucket DOWN in _materialize2, composite_mat2.py:176), so
+    class rows are NOT globally ascending and a contiguous-run slice here
+    composed garbage bands. Pads duplicate the band's first row (or global
     row 0 for an empty band)."""
     bands = gids // per_band
-    counts = np.bincount(bands, minlength=ndev)[:ndev]
-    starts = np.concatenate([[0], np.cumsum(counts)])[:ndev]
     idx = np.zeros((ndev, tgc_u), np.int32)
     pad = np.ones((ndev, tgc_u), bool)
     for b in range(ndev):
-        c = int(counts[b])
-        idx[b, :c] = np.arange(starts[b], starts[b] + c, dtype=np.int32)
-        idx[b, c:] = idx[b, 0] if c else 0
+        rows = np.flatnonzero(bands == b).astype(np.int32)
+        c = len(rows)
+        idx[b, :c] = rows
+        idx[b, c:] = rows[0] if c else 0
         pad[b, :c] = False
     return idx, pad
 

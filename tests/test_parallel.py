@@ -160,6 +160,38 @@ def test_sharded_mat2_easy_hard_mix(mesh8, rng):
 
 
 @pytest.mark.slow
+def test_sharded_mat2_nonmonotonic_hard_gids(mesh8, rng):
+    """Regression: the hard class is [leftover-easy gids asc] ++ [hard gids
+    asc] (easy counts bucket DOWN), so class rows are NOT globally
+    gid-ascending. shard_mat2_lut once assumed ascending and sliced
+    contiguous runs per band — composing garbage on ~half the canvas
+    whenever genuine hard groups interleave with leftover easy gids."""
+    from stitchingvideo_tpu.ops.pallas.composite import build_tiled_lut
+    from stitchingvideo_tpu.ops.pallas.composite_mat import \
+        frames_to_planar_i8
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+        _pack_classes, composite_mat2_planar)
+    from stitchingvideo_tpu.parallel.compose_mat2 import (
+        shard_mat2_lut, sharded_composite_mat2_fn)
+    from tests.test_pallas_composite import _make_state
+
+    frames, lut = _make_state(rng)
+    tlut = build_tiled_lut(lut, (128, 512))   # 8 groups, 1 per 8-dev band
+    # explicit interleaved split: hard rows [6, 7, 2, 5] — bands 2 and 5
+    # sit BETWEEN the leftover-easy rows in the class arrays
+    easy_ids = jnp.asarray([0, 1, 3, 4], jnp.int32)
+    hard_ids = jnp.asarray([6, 7, 2, 5], jnp.int32)
+    ml = _pack_classes(tlut, easy_ids, hard_ids, None, 0, scratch=False)
+    planar = frames_to_planar_i8(frames)
+    ref = np.asarray(composite_mat2_planar(planar, ml, interpret=True))
+
+    sm = shard_mat2_lut(ml, mesh8)
+    fn = sharded_composite_mat2_fn(mesh8, sm, interpret=True)
+    got = np.asarray(fn(planar, sm))[:, :ref.shape[1], :ref.shape[2]]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
 def test_sharded_feather_matches_single_with_fallback(mesh8, rng):
     """Feather hot-loop kernel sharded over canvas row bands == the
     single-device kernel, incl. >2-camera fallback tiles (VERDICT r2
