@@ -198,17 +198,22 @@ def cmd_video(args) -> int:
         for p in producers:
             p.wait()
         raise
-    vs = VideoStitcher(cfg)
-    if args.load_registration:
-        # stream through the checkpointed registration immediately — the
-        # cold slow path is skipped (reference camera-mp4.yml intent,
-        # SURVEY §5.4, actually wired)
-        vs.load_registration(args.load_registration)
-    from .video.sink import make_sink
-    sink = make_sink(args.output, fps=args.output_fps,
-                     display=args.display)
-    on_frame = sink.write if sink is not None else None
+    # everything below runs under the same cleanup as the stream loop: a
+    # failure here (bad --load_registration path, unwritable --output, too
+    # few devices for --canvas_shards) must not orphan the looping decode
+    # producers or leak their /dev/shm rings
+    sink = None
     try:
+        vs = VideoStitcher(cfg)
+        if args.load_registration:
+            # stream through the checkpointed registration immediately — the
+            # cold slow path is skipped (reference camera-mp4.yml intent,
+            # SURVEY §5.4, actually wired)
+            vs.load_registration(args.load_registration)
+        from .video.sink import make_sink
+        sink = make_sink(args.output, fps=args.output_fps,
+                         display=args.display)
+        on_frame = sink.write if sink is not None else None
         stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
         if args.save_registration:
             vs.save_registration(args.save_registration)

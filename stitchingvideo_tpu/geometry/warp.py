@@ -30,6 +30,24 @@ def _roi_scan(kind: str, scale, r_kinv, w: int, h: int):
     return jnp.stack([u.min(), u.max(), v.min(), v.max()])
 
 
+def _extend_for_poles(kind: str, scale: float, k_rinv: np.ndarray,
+                      w: int, h: int, tl_v: float, br_v: float):
+    """Spherical pole visibility: pano-frame pole rays (0, ±1, 0) projected
+    through k_rinv; if inside the source image, extend v to the projection's
+    natural bounds [0, scale*pi] (src/warpers.cpp:171-212)."""
+    if kind != "spherical":
+        return tl_v, br_v
+    for pole_dir, extend_to in (((0.0, -1.0, 0.0), 0.0),
+                                ((0.0, 1.0, 0.0), float(np.pi) * scale)):
+        p = k_rinv @ np.asarray(pole_dir, np.float32)
+        if p[2] > 0:
+            px, py = p[0] / p[2], p[1] / p[2]
+            if 0 <= px < w and 0 <= py < h:
+                tl_v = min(tl_v, extend_to)
+                br_v = max(br_v, extend_to)
+    return tl_v, br_v
+
+
 def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
                       src_size: Tuple[int, int],
                       grid_step: int = 1) -> Tuple[int, int, int, int]:
@@ -45,19 +63,8 @@ def detect_result_roi(kind: str, scale: float, K: np.ndarray, R: np.ndarray,
     r_kinv, k_rinv = proj.camera_maps(np.asarray(K, np.float32), np.asarray(R, np.float32))
     ext = np.asarray(_roi_scan(kind, float(scale), jnp.asarray(r_kinv), w, h))
     tl_u, br_u, tl_v, br_v = float(ext[0]), float(ext[1]), float(ext[2]), float(ext[3])
-
-    if kind == "spherical":
-        # Pole visibility: pano-frame pole rays (0, ±1, 0) projected through
-        # k_rinv; if inside the source image, extend v to the projection's
-        # natural bounds [0, scale*pi].
-        k_rinv_np = np.asarray(k_rinv)
-        for pole_dir, extend_to in (((0.0, -1.0, 0.0), 0.0), ((0.0, 1.0, 0.0), float(np.pi) * scale)):
-            p = k_rinv_np @ np.asarray(pole_dir, np.float32)
-            if p[2] > 0:
-                px, py = p[0] / p[2], p[1] / p[2]
-                if 0 <= px < w and 0 <= py < h:
-                    tl_v = min(tl_v, extend_to)
-                    br_v = max(br_v, extend_to)
+    tl_v, br_v = _extend_for_poles(kind, scale, np.asarray(k_rinv), w, h,
+                                   tl_v, br_v)
     # C-style static_cast<int> truncation toward zero on all four bounds —
     # exact detectResultRoi parity (warpers_inl.hpp:158-162); the +1 sizing
     # downstream covers the truncated fraction.
@@ -97,17 +104,8 @@ def detect_result_roi_batch(kind: str, scale: float, Ks, Rs, src_sizes):
     for i in range(len(src_sizes)):
         tl_u, br_u, tl_v, br_v = (float(ext[i, 0]), float(ext[i, 1]),
                                   float(ext[i, 2]), float(ext[i, 3]))
-        if kind == "spherical":
-            # pole visibility (src/warpers.cpp:171-212), host math
-            for pole_dir, extend_to in (((0.0, -1.0, 0.0), 0.0),
-                                        ((0.0, 1.0, 0.0),
-                                         float(np.pi) * scale)):
-                p = k_rinvs[i] @ np.asarray(pole_dir, np.float32)
-                if p[2] > 0:
-                    px, py = p[0] / p[2], p[1] / p[2]
-                    if 0 <= px < w and 0 <= py < h:
-                        tl_v = min(tl_v, extend_to)
-                        br_v = max(br_v, extend_to)
+        tl_v, br_v = _extend_for_poles(kind, scale, k_rinvs[i], w, h,
+                                       tl_v, br_v)
         rois.append((int(tl_u), int(tl_v), int(br_u), int(br_v)))
     return rois
 

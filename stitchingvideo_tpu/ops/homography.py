@@ -22,12 +22,40 @@ def _normalization(pts: jnp.ndarray, w: jnp.ndarray):
     return T
 
 
-def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted normalized DLT. pts: [M,2], w: [M] >= 0. Returns H (p2 ~ H p1)."""
+def _normalized_pair(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray):
+    """Apply Hartley normalization to both point sets: (p1, p2, T1, T2)."""
     T1 = _normalization(pts1, w)
     T2 = _normalization(pts2, w)
     p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
     p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
+    return p1, p2, T1, T2
+
+
+def _denormalize(Hn: jnp.ndarray, T1: jnp.ndarray, T2: jnp.ndarray):
+    """p2 = T2^-1 Hn T1 p1, rescaled to H[2,2] = 1 (guarded)."""
+    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
+                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
+                       [0.0, 0.0, 1.0]])
+    H = T2inv @ Hn @ T1
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+
+
+def _h33_rows(p1: jnp.ndarray, p2: jnp.ndarray):
+    """(A [2M,8], b [2M]) of the h33=1 system A h = b
+    (cv2.getPerspectiveTransform's formulation)."""
+    x, y = p1[:, 0], p1[:, 1]
+    xp, yp = p2[:, 0], p2[:, 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], -1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], -1)
+    return (jnp.concatenate([r1, r2], axis=0),
+            jnp.concatenate([xp, yp], axis=0))
+
+
+def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted normalized DLT. pts: [M,2], w: [M] >= 0. Returns H (p2 ~ H p1)."""
+    p1, p2, T1, T2 = _normalized_pair(pts1, pts2, w)
     x, y = p1[:, 0], p1[:, 1]
     xp, yp = p2[:, 0], p2[:, 1]
     zero = jnp.zeros_like(x)
@@ -39,20 +67,12 @@ def dlt_homography(pts1: jnp.ndarray, pts2: jnp.ndarray, w: jnp.ndarray) -> jnp.
     # visibly degrades the homography conditioning
     AtA = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
     _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[:, 0]
-    Hn = h.reshape(3, 3)
-    # denormalize: p2 = T2^-1 Hn T1 p1
-    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
-                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
-                       [0.0, 0.0, 1.0]])
-    H = T2inv @ Hn @ T1
-    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
-    return H
+    return _denormalize(vecs[:, 0].reshape(3, 3), T1, T2)
 
 
 def perspective_4pt(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
-    """Exact 4-point homography via the 8x8 linear system with h33=1
-    (cv2.getPerspectiveTransform's formulation), Hartley-normalized.
+    """Exact 4-point homography via the 8x8 linear system with h33=1,
+    Hartley-normalized.
 
     This is the RANSAC HYPOTHESIS solver: jnp.linalg.solve on [8,8] lowers
     to a tiny LU — the 9x9 eigh DLT used here previously made the batched
@@ -61,27 +81,11 @@ def perspective_4pt(pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:
     garbage H that simply scores zero inliers (the h33=0 family that DLT
     could represent is measure-zero among random 4-point samples).
     """
-    w4 = jnp.ones((4,), jnp.float32)
-    T1 = _normalization(pts1, w4)
-    T2 = _normalization(pts2, w4)
-    p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
-    p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
-    x, y = p1[:, 0], p1[:, 1]
-    xp, yp = p2[:, 0], p2[:, 1]
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
-    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], -1)
-    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], -1)
-    A = jnp.concatenate([r1, r2], axis=0)            # [8, 8]
-    b = jnp.concatenate([xp, yp], axis=0)            # [8]
+    p1, p2, T1, T2 = _normalized_pair(pts1, pts2, jnp.ones((4,), jnp.float32))
+    A, b = _h33_rows(p1, p2)                         # [8, 8], [8]
     h = jnp.linalg.solve(A, b)
     Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
-    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
-                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
-                       [0.0, 0.0, 1.0]])
-    H = T2inv @ Hn @ T1
-    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
-    return H
+    return _denormalize(Hn, T1, T2)
 
 
 def weighted_refit_8pt(pts1: jnp.ndarray, pts2: jnp.ndarray,
@@ -96,31 +100,15 @@ def weighted_refit_8pt(pts1: jnp.ndarray, pts2: jnp.ndarray,
     ridge keeps degenerate weight sets solvable; the caller's inlier-count
     gate discards any garbage refit.
     """
-    T1 = _normalization(pts1, w)
-    T2 = _normalization(pts2, w)
-    p1 = pts1 * T1[0, 0] + T1[:2, 2][None, :]
-    p2 = pts2 * T2[0, 0] + T2[:2, 2][None, :]
-    x, y = p1[:, 0], p1[:, 1]
-    xp, yp = p2[:, 0], p2[:, 1]
-    zero = jnp.zeros_like(x)
-    one = jnp.ones_like(x)
-    r1 = jnp.stack([x, y, one, zero, zero, zero, -x * xp, -y * xp], -1)
-    r2 = jnp.stack([zero, zero, zero, x, y, one, -x * yp, -y * yp], -1)
-    A = jnp.concatenate([r1, r2], axis=0)                  # [2M, 8]
-    b = jnp.concatenate([xp, yp], axis=0)                  # [2M]
+    p1, p2, T1, T2 = _normalized_pair(pts1, pts2, w)
+    A, b = _h33_rows(p1, p2)                         # [2M, 8], [2M]
     ww = jnp.concatenate([w, w], axis=0)
     Aw = A * ww[:, None]
     G = jnp.matmul(Aw.T, A, precision=jax.lax.Precision.HIGHEST) \
         + 1e-8 * jnp.eye(8)
-    g = Aw.T @ b
-    h = jnp.linalg.solve(G, g)
+    h = jnp.linalg.solve(G, Aw.T @ b)
     Hn = jnp.concatenate([h, jnp.ones((1,), h.dtype)]).reshape(3, 3)
-    T2inv = jnp.array([[1.0 / T2[0, 0], 0.0, -T2[0, 2] / T2[0, 0]],
-                       [0.0, 1.0 / T2[1, 1], -T2[1, 2] / T2[1, 1]],
-                       [0.0, 0.0, 1.0]])
-    H = T2inv @ Hn @ T1
-    H = H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
-    return H
+    return _denormalize(Hn, T1, T2)
 
 
 def transfer_error2(H: jnp.ndarray, pts1: jnp.ndarray, pts2: jnp.ndarray) -> jnp.ndarray:

@@ -328,52 +328,3 @@ def concat_tiled_luts(luts, cams) -> TiledLUT:
         n_fallback=sum(l.n_fallback for l in luts),
         grid_hw=(len(luts) * nty, ntx),
         pano_hw=(len(luts) * nty * TILE_H, ntx * TILE_W), frame_hw=fhw)
-
-
-@partial(jax.jit, static_argnames=("pieces", "interpret"))
-def composite_tiled_planar_pieces(planar: jnp.ndarray, tlut: TiledLUT,
-                                  pieces: int,
-                                  interpret: bool = False) -> jnp.ndarray:
-    """[N, 3, H, W] bfloat16 frames + a concat_tiled_luts LUT ->
-    [pieces, 3, Hb, Wb] bfloat16 warped windows (u8-quantized values).
-
-    Planar-out variant of composite_tiled_planar for the multiband video
-    path: one pallas launch for all windows and no HWC round-trip — the
-    tile-major kernel output untiles straight to [pieces, 3, Hb, Wb]."""
-    T = tlut.sx.shape[0]
-    nty_all, ntx = tlut.grid_hw
-    nty = nty_all // pieces
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((3, 1, 1, P), lambda t, *_: (0, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 3, WIN_H, WIN_W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((3, T, 1, P), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(tlut.tile_cam, tlut.tile_org, tlut.sx, tlut.sy, tlut.gain, tlut.cidx,
-      planar)
-
-    res = out.reshape(3, pieces, nty, ntx, TILE_H, TILE_W) \
-             .transpose(1, 0, 2, 4, 3, 5) \
-             .reshape(pieces, 3, nty * TILE_H, ntx * TILE_W)
-    # same u8 quantization as composite_tiled_planar (0..255 integers are
-    # exact in bfloat16), kept in bf16 for the downstream pyramid chain
-    return jnp.clip(jnp.round(res), 0, 255).astype(jnp.bfloat16)

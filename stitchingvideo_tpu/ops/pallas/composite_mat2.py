@@ -581,8 +581,8 @@ def composite_mat2_planar_pieces(planar_i8: jnp.ndarray, ml: MatLUT2,
     windows (u8-quantized values, gain and the folded coverage mask applied;
     uncovered pixels are exactly 0).
 
-    mat2-kernel replacement of composite.composite_tiled_planar_pieces for
-    the multiband video path: int8 window DMAs, short easy windows, and the
+    The multiband video path's warp stage: int8 window DMAs, short easy
+    windows (vs the plain tiled kernel's bf16 frames + tall windows), and the
     used-groups compaction skip the (many) fully-uncovered window tiles. The
     output is zero-initialized so skipped groups read as uncovered."""
     Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
