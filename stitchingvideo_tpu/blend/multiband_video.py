@@ -72,17 +72,18 @@ class MultibandVideoState:
 
 def _column_pieces(valid: np.ndarray) -> List[Tuple[int, int]]:
     """[Hr, Wr] footprint -> list of (x0, x1) ROI column spans. One span per
-    contiguous column run, runs separated by < SPLIT_GAP merged; capped at
-    two pieces (single interior gap = the wrap-around case)."""
+    contiguous column run; runs separated by <= SPLIT_GAP are merged. Splits
+    at EVERY wide gap — a footprint the seams carve into k clusters (the
+    wrap-around camera, or per-component DP seams) yields k virtual cameras;
+    collapsing them to one span would inflate the shared window width Wb
+    toward the full canvas and with it every camera's pyramid cost."""
     cols = np.flatnonzero(valid.any(axis=0))
     if cols.size == 0:
         return []
     gaps = np.flatnonzero(np.diff(cols) > SPLIT_GAP)
-    if gaps.size != 1:
-        return [(int(cols[0]), int(cols[-1]) + 1)]
-    g = int(gaps[0])
-    return [(int(cols[0]), int(cols[g]) + 1),
-            (int(cols[g + 1]), int(cols[-1]) + 1)]
+    starts = np.concatenate([[0], gaps + 1])
+    ends = np.concatenate([gaps, [cols.size - 1]])
+    return [(int(cols[s]), int(cols[e]) + 1) for s, e in zip(starts, ends)]
 
 
 def build_multiband_state(reg, frame_hw: Tuple[int, int],
@@ -215,15 +216,6 @@ def _mask_state(m_w, piece_ax, canvas_hw, bands):
 
 
 @jax.jit
-def to_planar_bf16(frames_u8: jnp.ndarray) -> jnp.ndarray:
-    """[N,H,W,3] u8 -> [N,3,H,W] bf16. MUST run as its own dispatch: a
-    transpose fused into the same jit as the warp kernels gets folded into
-    a non-default operand layout that Mosaic rejects (see composite_tiled).
-    (Legacy input format of the V1 warp; the mat2 frame path takes int8 —
-    see ops.pallas.composite_mat.frames_to_planar_i8.)"""
-    return frames_u8.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
-
-
 def _bblur_up(x_bf16: jnp.ndarray) -> jnp.ndarray:
     """pyr_up with f32 arithmetic on bf16 storage (fused casts)."""
     return ppyr.pyr_up_p(x_bf16.astype(jnp.float32))

@@ -34,6 +34,14 @@ from .lut import CompositeLUT, build_lut, composite_frame_u8
 from .sources import FrameSource
 
 
+def _fit2d(a: jnp.ndarray, fill, shape) -> jnp.ndarray:
+    """Pad/crop a 2-D array to `shape` (the frozen-output fit primitive)."""
+    H, W = shape
+    h, w = a.shape
+    out = jnp.full((H, W), fill, a.dtype)
+    return out.at[:min(h, H), :min(w, W)].set(a[:min(h, H), :min(w, W)])
+
+
 @dataclass
 class FrameStats:
     """Per-frame timing log (reference 'Stitching Frame'/'Read Frame' parity,
@@ -91,7 +99,9 @@ class VideoStitcher:
         self._lut: Optional[CompositeLUT] = None
         self._tlut = None                  # Pallas tiled LUT (fast path)
         self._ftlut = None                 # feather hot-loop state
+        self._ftlut_reg = None             # the Registration it was built from
         self._mbtlut = None                # multiband hot-loop state
+        self._mbtlut_reg = None
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
         self._und_maps = None              # (xmap, ymap) full-res undistort
@@ -155,13 +165,19 @@ class VideoStitcher:
                 self._reg = reg
             self._frame_hw = tuple(int(x) for x in frame_hw)
             self._lut = lut
-            with _tracer.span("pallas_weight_build"):
-                self._tlut = self._try_tiled(lut, frame_hw,
-                                             self.cfg.video.kernel,
-                                             self._mesh)
-                from ..utils.timing import maybe_sync as _ms2
-                if self._tlut is not None:
-                    _ms2(jax.tree.leaves(self._tlut[1])[0])
+            if self.cfg.video.compose_mode == "lut":
+                with _tracer.span("pallas_weight_build"):
+                    self._tlut = self._try_tiled(lut, frame_hw,
+                                                 self.cfg.video.kernel,
+                                                 self._mesh)
+                    from ..utils.timing import maybe_sync as _ms2
+                    if self._tlut is not None:
+                        _ms2(jax.tree.leaves(self._tlut[1])[0])
+            else:
+                # feather/multiband hot loops never consume the seam-select
+                # kernel — building it here would add its full weight-
+                # materialization to every re-registration for nothing
+                self._tlut = None
             self._last_reg_time = time.monotonic()
             self.registrations += 1
         if self.cfg.video.compose_mode == "feather" and reg is not None:
@@ -190,6 +206,7 @@ class VideoStitcher:
                     crop=self._crop_slices((CH, CW), reg.extent_wh))
                 with self._lock:
                     self._mbtlut = (st, crop_yx)
+                    self._mbtlut_reg = reg
                 return True
             except Exception:
                 import logging
@@ -198,6 +215,7 @@ class VideoStitcher:
                     "blend path", exc_info=True)
                 with self._lock:
                     self._mbtlut = None
+                    self._mbtlut_reg = None
                 return False
 
     def build_feather_state(self, frame_hw) -> bool:
@@ -227,6 +245,7 @@ class VideoStitcher:
                     "slow full-blend path", exc_info=True)
                 with self._lock:
                     self._ftlut = None   # composite() uses the full XLA blend
+                    self._ftlut_reg = None
                 return False
             state = None
             if self._mesh is not None:
@@ -259,6 +278,7 @@ class VideoStitcher:
                     state = ("fgather", jax.device_put(blut))
             with self._lock:
                 self._ftlut = state
+                self._ftlut_reg = reg
         return state[0] in ("fmat", "fmat_sharded")
 
     @staticmethod
@@ -369,47 +389,60 @@ class VideoStitcher:
     @staticmethod
     def _fit_blend(blut, shape):
         """Pad/crop a blend LUT to the frozen output shape."""
-        H, W = shape
-        h, w = blut.shape
-
-        def fit(a, fill):
-            out = jnp.full((H, W), fill, a.dtype)
-            return out.at[:min(h, H), :min(w, W)].set(
-                a[:min(h, H), :min(w, W)])
-
         import dataclasses as _dc
         return _dc.replace(
             blut,
-            cam_a=fit(blut.cam_a, -1), sx_a=fit(blut.sx_a, 0.0),
-            sy_a=fit(blut.sy_a, 0.0), gw_a=fit(blut.gw_a, 0.0),
-            cam_b=fit(blut.cam_b, -1), sx_b=fit(blut.sx_b, 0.0),
-            sy_b=fit(blut.sy_b, 0.0), gw_b=fit(blut.gw_b, 0.0))
+            cam_a=_fit2d(blut.cam_a, -1, shape),
+            sx_a=_fit2d(blut.sx_a, 0.0, shape),
+            sy_a=_fit2d(blut.sy_a, 0.0, shape),
+            gw_a=_fit2d(blut.gw_a, 0.0, shape),
+            cam_b=_fit2d(blut.cam_b, -1, shape),
+            sx_b=_fit2d(blut.sx_b, 0.0, shape),
+            sy_b=_fit2d(blut.sy_b, 0.0, shape),
+            gw_b=_fit2d(blut.gw_b, 0.0, shape))
 
     @staticmethod
     def _fit_lut(lut: CompositeLUT, shape) -> CompositeLUT:
         """Pad/crop a new LUT to the frozen output shape."""
-        H, W = shape
-        h, w = lut.cam_idx.shape
+        return CompositeLUT(cam_idx=_fit2d(lut.cam_idx, -1, shape),
+                            src_x=_fit2d(lut.src_x, 0.0, shape),
+                            src_y=_fit2d(lut.src_y, 0.0, shape),
+                            gain=_fit2d(lut.gain, 1.0, shape))
 
-        def fit(a, fill):
-            out = jnp.full((H, W), fill, a.dtype)
-            return out.at[:min(h, H), :min(w, W)].set(a[:min(h, H), :min(w, W)])
+    def _fit_frame(self, pano: np.ndarray) -> np.ndarray:
+        """Pad/crop a composed HWC frame to the frozen output shape. The
+        frozen-canvas invariant (module docstring) must hold for EVERY
+        compose path: a mid-stream shape change kills encoder sinks
+        (VideoFileSink rejects resized frames)."""
+        with self._lock:
+            out_shape = self._out_shape
+        if out_shape is None:
+            return pano
+        H, W = out_shape
+        h, w = pano.shape[:2]
+        if (h, w) == (H, W):
+            return pano
+        out = np.zeros((H, W) + pano.shape[2:], pano.dtype)
+        out[:min(h, H), :min(w, W)] = pano[:min(h, H), :min(w, W)]
+        return out
 
-        return CompositeLUT(cam_idx=fit(lut.cam_idx, -1),
-                            src_x=fit(lut.src_x, 0.0),
-                            src_y=fit(lut.src_y, 0.0),
-                            gain=fit(lut.gain, 1.0))
-
-    def _select_frames(self, frames: List[np.ndarray]) -> List[np.ndarray]:
+    def _select_frames(self, frames: List[np.ndarray],
+                       reg: Optional[Registration] = None) -> List[np.ndarray]:
         """Select the registration's kept cameras from the full rig frame
         list (leaveBiggestComponent parity, matchers.cpp:552-573: a
         registration may drop low-confidence cameras, so the hot loop must
         feed the kept subset in component order — otherwise the LUT's camera
         indices silently address the wrong frames). Only applied when the
         rig size differs from the registration's camera count, so callers
-        that already pass the kept subset are untouched."""
-        with self._lock:
-            reg = self._reg
+        that already pass the kept subset are untouched.
+
+        Pass `reg` explicitly when composing through a cached blend state:
+        selection must match the registration THAT STATE was built from —
+        self._reg may already be a newer registration whose kept subset
+        differs while the state rebuild is still in flight."""
+        if reg is None:
+            with self._lock:
+                reg = self._reg
         if reg is None:
             return frames
         idx = reg.src_indices
@@ -432,33 +465,36 @@ class VideoStitcher:
                         fields + seam masks every frame (beyond-reference
                         quality mode; heavier).
         """
-        frames = self._select_frames(frames)
         mode = self.cfg.video.compose_mode
+        # ONE snapshot: every state is read together with the registration
+        # it was built from, so frame selection, the kernel state, and the
+        # camera indexing inside it can never mix two registrations mid-swap
+        with self._lock:
+            reg = self._reg
+            ftlut, ft_reg = self._ftlut, self._ftlut_reg
+            mbt, mb_reg = self._mbtlut, self._mbtlut_reg
         if mode == "lut":
             return np.asarray(
-                self.composite_device(jnp.asarray(np.stack(frames))))
-        if mode == "feather":
-            with self._lock:
-                ftlut = self._ftlut
-            if ftlut is not None:
-                from ..ops.pallas.composite_mat import planar_to_hwc
-                out = self.composite_feather_planar(
-                    jnp.asarray(np.stack(frames)))
-                return np.asarray(planar_to_hwc(out))
-        if mode == "multiband":
-            with self._lock:
-                mbt = self._mbtlut
-            if mbt is not None:
-                from ..blend.multiband_video import multiband_video_frame
-                from ..ops.pallas.composite_mat import (frames_to_planar_i8,
-                                                        planar_to_hwc)
-                st, crop_yx = mbt
-                interpret = jax.default_backend() != "tpu"
-                planar = frames_to_planar_i8(jnp.asarray(np.stack(frames)))
-                out = multiband_video_frame(planar, st, crop_yx=crop_yx,
-                                            interpret=interpret)
-                return np.asarray(planar_to_hwc(out))
-        return self._composite_blend(frames, mode)
+                self.composite_device(jnp.asarray(np.stack(
+                    self._select_frames(frames, reg)))))
+        if mode == "feather" and ftlut is not None:
+            from ..ops.pallas.composite_mat import planar_to_hwc
+            sel = self._select_frames(frames, ft_reg or reg)
+            out = self._feather_planar(jnp.asarray(np.stack(sel)), ftlut)
+            return self._fit_frame(np.asarray(planar_to_hwc(out)))
+        if mode == "multiband" and mbt is not None:
+            from ..blend.multiband_video import multiband_video_frame
+            from ..ops.pallas.composite_mat import (frames_to_planar_i8,
+                                                    planar_to_hwc)
+            st, crop_yx = mbt
+            interpret = jax.default_backend() != "tpu"
+            sel = self._select_frames(frames, mb_reg or reg)
+            planar = frames_to_planar_i8(jnp.asarray(np.stack(sel)))
+            out = multiband_video_frame(planar, st, crop_yx=crop_yx,
+                                        interpret=interpret)
+            return self._fit_frame(np.asarray(planar_to_hwc(out)))
+        return self._composite_blend(self._select_frames(frames, reg),
+                                     mode, reg)
 
     def composite_feather_planar(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Feather-blended hot path, [3, Hp, Wp] uint8 planar.
@@ -471,6 +507,12 @@ class VideoStitcher:
             raise RuntimeError("feather state not built "
                                "(register with compose_mode='feather' or "
                                "call build_feather_state)")
+        return self._feather_planar(batch, ftlut)
+
+    def _feather_planar(self, batch: jnp.ndarray, ftlut) -> jnp.ndarray:
+        """Feather hot path on a CALLER-snapshotted state: re-reading
+        self._ftlut here could observe a concurrent build-failure reset to
+        None and crash a streaming loop that already checked it."""
         kind, state = ftlut
         if kind == "fmat_sharded":
             from ..ops.pallas.composite_mat import frames_to_planar_i8
@@ -489,10 +531,12 @@ class VideoStitcher:
         out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
         return jnp.transpose(out, (2, 0, 1))
 
-    def _composite_blend(self, frames: List[np.ndarray], mode: str) -> np.ndarray:
+    def _composite_blend(self, frames: List[np.ndarray], mode: str,
+                         reg: Optional[Registration] = None) -> np.ndarray:
         from ..models.stitcher import _blend_on_canvas, _remap_gain_batch
-        with self._lock:
-            reg = self._reg
+        if reg is None:
+            with self._lock:
+                reg = self._reg
         if reg is None:
             raise RuntimeError("not registered yet")
         batch = jnp.asarray(np.stack(frames)).astype(jnp.float32)
@@ -501,7 +545,13 @@ class VideoStitcher:
             warped, reg.seam_masks, reg.valid, np.asarray(reg.corners),
             reg.canvas_wh, mode, self.cfg.compose.blend_strength,
             self.cfg.compose.feather_sharpness)
-        return np.asarray(jnp.clip(jnp.round(pano), 0, 255).astype(jnp.uint8))
+        out = np.asarray(jnp.clip(jnp.round(pano), 0, 255).astype(jnp.uint8))
+        # same crop + frozen-shape contract as the hot paths: a fallback
+        # transition mid-stream must not change the frame size (encoder
+        # sinks reject that) or expose the uncropped canvas margins
+        CW, CH = reg.canvas_wh
+        y0, y1, x0, x1 = self._crop_slices((CH, CW), reg.extent_wh)
+        return self._fit_frame(out[y0:y1, x0:x1])
 
     def composite_device(self, batch: jnp.ndarray) -> jnp.ndarray:
         """Device-resident hot path (no host transfer), HWC output.
@@ -526,6 +576,12 @@ class VideoStitcher:
             tlut = self._tlut
             ftlut = self._ftlut
         interpret = jax.default_backend() != "tpu"
+        if self.cfg.video.compose_mode == "multiband":
+            # never silently serve seam-select output at multiband quality
+            raise RuntimeError(
+                "multiband has no micro-batch kernel; batch "
+                "multiband_video_frame directly (see bench.py) or use "
+                "compose_mode='lut'/'feather'")
         if self.cfg.video.compose_mode == "feather":
             if ftlut is None or ftlut[0] != "fmat":
                 raise RuntimeError("feather micro-batch path requires the "
@@ -614,6 +670,11 @@ class VideoStitcher:
         """Main loop with background re-registration every
         cfg.video.reregister_seconds (reference :832-848)."""
         period = self.cfg.video.reregister_seconds
+        # re-entrancy: a previous run() set _stop in its finally; a fresh
+        # loop needs a live worker (else re-registration requests are never
+        # serviced and the exit drain spins its full deadline)
+        self._stop.clear()
+        self._reg_requested.clear()
         frames = source.read()
         if frames is None:
             raise RuntimeError("frame source empty")

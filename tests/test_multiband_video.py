@@ -51,9 +51,6 @@ def test_multiband_video_hot_path(scene_mb):
     assert vs._mbtlut is not None
     pano_hot = vs.composite(list(views))
     pano_full = vs._composite_blend(list(views), "multiband")
-    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2],
-                                     vs._reg.extent_wh)
-    pano_full = pano_full[y0:y1, x0:x1]
     assert pano_hot.shape == pano_full.shape
     cov = (pano_full.sum(-1) > 0) & (pano_hot.sum(-1) > 0)
     d = np.abs(pano_hot.astype(np.int16) - pano_full.astype(np.int16))[cov]
@@ -69,3 +66,24 @@ def test_multiband_video_rereg_keeps_working(scene_mb):
     assert vs._mbtlut is not None
     pano = vs.composite(list(views))
     assert pano.dtype == np.uint8 and (pano.sum(-1) > 0).mean() > 0.3
+
+
+def test_column_pieces_multi_gap():
+    """A footprint the seams carve into k clusters yields k spans — an
+    earlier version collapsed >=2 wide gaps into ONE span, inflating the
+    shared window width toward the full canvas."""
+    from stitchingvideo_tpu.blend.multiband_video import (SPLIT_GAP,
+                                                          _column_pieces)
+    W = 4000
+    m = np.zeros((4, W), bool)
+    m[:, 0:100] = True
+    m[:, 1500:1650] = True
+    m[:, 3200:3300] = True          # three clusters, gaps > SPLIT_GAP
+    assert SPLIT_GAP < 1400
+    assert _column_pieces(m) == [(0, 100), (1500, 1650), (3200, 3300)]
+    # narrow gaps still merge
+    m2 = np.zeros((4, W), bool)
+    m2[:, 0:100] = True
+    m2[:, 150:300] = True
+    assert _column_pieces(m2) == [(0, 300)]
+    assert _column_pieces(np.zeros((4, W), bool)) == []

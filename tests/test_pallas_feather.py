@@ -97,11 +97,9 @@ def test_video_feather_hot_loop(scene_feather):
     assert vs._ftlut is not None and vs._ftlut[0] == "fmat", \
         (vs._ftlut[0] if vs._ftlut else None)
     pano_hot = vs.composite(list(views))
+    # _composite_blend applies the same crop + frozen-shape contract as
+    # the hot path (a fallback transition must not change the frame size)
     pano_full = vs._composite_blend(list(views), "feather")
-    # the hot path applies the reference crop margins (64-bit driver :47);
-    # the full-blend path composes the whole canvas — crop it to compare
-    y0, y1, x0, x1 = vs._crop_slices(pano_full.shape[:2], vs._reg.extent_wh)
-    pano_full = pano_full[y0:y1, x0:x1]
     assert pano_hot.shape == pano_full.shape
     cov = (pano_full.sum(-1) > 0) & (pano_hot.sum(-1) > 0)
     d = np.abs(pano_hot.astype(np.int16) - pano_full.astype(np.int16))

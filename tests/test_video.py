@@ -243,6 +243,27 @@ def test_video_feather_compose_mode(scene):
 
 
 @pytest.mark.slow
+def test_blend_fallback_keeps_frozen_shape(scene):
+    """A blend-state build failure mid-stream demotes to the full XLA blend
+    path — whose output must keep the cropped frozen shape (encoder sinks
+    reject resized frames) instead of exposing the raw uncropped canvas."""
+    import dataclasses as dc
+    views, *_ = scene
+    cfg = _cfg()
+    cfg = cfg.replace(video=dc.replace(cfg.video, compose_mode="feather"))
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    pano_hot = vs.composite(list(views))
+    assert pano_hot.shape[:2] == tuple(vs._out_shape)
+    with vs._lock:                      # simulate a failed state rebuild
+        vs._ftlut = None
+        vs._ftlut_reg = None
+    pano_fb = vs.composite(list(views))
+    assert pano_fb.shape == pano_hot.shape
+    assert (pano_fb > 0).mean() > 0.3
+
+
+@pytest.mark.slow
 def test_video_with_undistortion():
     """Undistort-enabled video: registration on undistorted frames, LUT
     composed with the undistort map (single-gather hot loop)."""
