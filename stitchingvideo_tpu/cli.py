@@ -211,8 +211,14 @@ def cmd_video(args) -> int:
             # SURVEY §5.4, actually wired)
             vs.load_registration(args.load_registration)
         from .video.sink import make_sink
+
+        def _on_key(k: int) -> None:
+            # 'a' forces re-registration (reference 64-bit driver :768)
+            if k == ord("a"):
+                vs.force_reregister()
+
         sink = make_sink(args.output, fps=args.output_fps,
-                         display=args.display)
+                         display=args.display, on_key=_on_key)
         on_frame = sink.write if sink is not None else None
         stats = vs.run(src, on_frame=on_frame, max_frames=args.frames)
         if args.save_registration:

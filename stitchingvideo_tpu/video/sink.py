@@ -122,11 +122,16 @@ class StillSink(FrameSink):
 
 class DisplaySink(FrameSink):
     """Live window (reference imshow/waitKey loop). Disables itself with a
-    warning on headless machines instead of killing the stream."""
+    warning on headless machines instead of killing the stream.
 
-    def __init__(self, title: str = "stitchingvideo-tpu"):
+    on_key (optional) receives each pressed key's code — the CLI wires 'a'
+    to VideoStitcher.force_reregister, the reference's on-demand
+    re-registration key (64-bit driver stitching_detailed.cpp:768)."""
+
+    def __init__(self, title: str = "stitchingvideo-tpu", on_key=None):
         super().__init__()
         self.title = title
+        self.on_key = on_key
         self._dead = False
 
     def write(self, frame: np.ndarray, index: int) -> None:
@@ -135,7 +140,9 @@ class DisplaySink(FrameSink):
         try:
             import cv2
             cv2.imshow(self.title, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
-            cv2.waitKey(1)
+            k = cv2.waitKey(1)
+            if k >= 0 and self.on_key is not None:
+                self.on_key(k & 0xFF)
             self.frames_written += 1
         except Exception:
             import logging
@@ -170,13 +177,15 @@ class TeeSink(FrameSink):
 
 
 def make_sink(path: Optional[str], fps: float = 30.0,
-              display: bool = False) -> Optional[FrameSink]:
+              display: bool = False, on_key=None) -> Optional[FrameSink]:
     """Route an --output argument to the right sink kind:
 
       *.mp4/.avi/...  -> encoded video, every frame
       *.jpg/.png/...  -> single still (first frame)
       anything else   -> numbered-frame directory
       None            -> display only (or no sink at all)
+
+    on_key is forwarded to the DisplaySink (keypress callback).
     """
     file_sink: Optional[FrameSink] = None
     if path:
@@ -187,7 +196,7 @@ def make_sink(path: Optional[str], fps: float = 30.0,
             file_sink = StillSink(path)
         else:
             file_sink = FrameDirSink(path)
-    disp = DisplaySink() if display else None
+    disp = DisplaySink(on_key=on_key) if display else None
     if file_sink and disp:
         return TeeSink(file_sink, disp)
     return file_sink or disp

@@ -156,3 +156,32 @@ def test_cli_preview_and_undistort_flags(scene_files, tmp_path):
     assert cfg.undistort.enabled
     assert cfg.undistort.fx == 100 and cfg.undistort.cy == 51
     assert cfg.undistort.dist == (-0.1, 0.01, 0.001, 0.002)
+
+
+def test_display_sink_key_callback(monkeypatch):
+    """DisplaySink forwards keypresses (the reference's 'a'-key on-demand
+    re-registration, 64-bit driver :768) and make_sink wires on_key through.
+    cv2's GUI is faked so the test runs headless."""
+    import types
+
+    from stitchingvideo_tpu.video import sink as sink_mod
+
+    shown, keys = [], [ord("a"), -1, ord("q")]
+    fake = types.SimpleNamespace(
+        imshow=lambda title, img: shown.append((title, img.shape)),
+        waitKey=lambda ms: keys.pop(0),
+        destroyWindow=lambda title: None,
+        cvtColor=lambda img, code: img,
+        COLOR_RGB2BGR=4,
+    )
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    pressed = []
+    s = sink_mod.make_sink(None, display=True, on_key=pressed.append)
+    frame = np.zeros((8, 8, 3), np.uint8)
+    for i in range(3):
+        s.write(frame, i)
+    s.close()
+    assert s.frames_written == 3
+    assert len(shown) == 3
+    assert pressed == [ord("a"), ord("q")]  # -1 (no key) filtered out

@@ -17,9 +17,12 @@ pytestmark = [pytest.mark.skipif(
     pytest.mark.slow]
 
 
-def test_reference_rig_registration():
+@pytest.fixture(scope="module")
+def ref_registration():
+    """ONE work-scale registration on the real footage, shared by the rig
+    and golden tests (it is their expensive common stage; both previously
+    re-registered the same six frames from scratch)."""
     import imageio.v3 as iio
-    from scipy.spatial.transform import Rotation
     from stitchingvideo_tpu.config import StitchConfig
     from stitchingvideo_tpu.models.stitcher import _resize, _scale_for
     from stitchingvideo_tpu.register.pipeline import register_images
@@ -30,13 +33,17 @@ def test_reference_rig_registration():
     ws = _scale_for(cfg.scales.work_megapix, imgs[0].shape[1], imgs[0].shape[0])
     work = [_resize(im, ws) for im in imgs]
     reg = register_images(work, cfg, seed=0)
+    return imgs, cfg, ws, reg
+
+
+def test_reference_rig_registration(ref_registration):
+    imgs, cfg, ws, reg = ref_registration
 
     # all six cameras join the panorama
     assert len(reg.indices) == 6, reg.indices
     focals = np.asarray(reg.cameras.focal)
     med = float(np.median(focals))
     assert np.all(np.abs(focals / med - 1.0) < 0.15), focals
-    del Rotation
     # yaw chain covers the full circle: camera z-axes spread evenly in yaw
     Rs = np.asarray(reg.cameras.R, np.float64)
     yaws = sorted(float(np.arctan2(R[0, 2], R[2, 2])) for R in Rs)
@@ -45,30 +52,31 @@ def test_reference_rig_registration():
     assert np.all(circ > 0.5) and np.all(circ < 1.6), yaws
 
 
-def test_composite_vs_reference_golden():
+def test_composite_vs_reference_golden(ref_registration):
     """Full-pipeline composite vs the reference's shipped panorama
     (Release/mystitching.jpg, 8837x1226, produced by the RT driver on the
     same six frames). Registrations differ (SURF then vs our ORB-class
     features), so the gate is content-level: circular-x NCC (the panorama's
     yaw origin is arbitrary) over a vertical scale/shift sweep, on raw
-    luminance and on local-contrast (structure)."""
+    luminance and on local-contrast (structure). Composes the faithful still
+    path from the shared module registration (the same flow Stitcher.stitch
+    runs with compose.faithful=True)."""
     import dataclasses
 
     import cv2
     import imageio.v3 as iio
 
-    from stitchingvideo_tpu.config import StitchConfig
-    from stitchingvideo_tpu.models.stitcher import Stitcher
+    from stitchingvideo_tpu.models.compose_cv import compose_panorama_cv
 
-    imgs = [np.asarray(iio.imread(f"{REF_DIR}/img-{i}.jpg"))[..., :3]
-            for i in range(6)]
+    imgs, cfg, ws, reg = ref_registration
     golden = np.asarray(iio.imread(
         os.path.join(os.path.dirname(REF_DIR), "mystitching.jpg")))[..., :3]
 
-    cfg = StitchConfig()
     cfg = cfg.replace(scales=dataclasses.replace(cfg.scales,
                                                  compose_megapix=0.6))
-    pano, _mask = Stitcher(cfg).stitch(imgs)
+    kept = [imgs[i] for i in reg.indices]
+    pano, _mask = compose_panorama_cv(kept, reg.cameras,
+                                      float(reg.warped_image_scale), ws, cfg)
 
     W, H = 1024, 128
 

@@ -25,20 +25,53 @@ def _cfg(**compose_kw):
     return cfg.replace(compose=compose)
 
 
+@pytest.fixture(scope="module")
+def synth_scene_reg():
+    """Scene + ONE work-scale registration shared by the blend/seam combo
+    tests below — registration (features/matching/BA/wave) is independent of
+    the compose-stage blend/seam choices, so re-running it per combo only
+    repeated the expensive common stage."""
+    from stitchingvideo_tpu.models.stitcher import _resize_all, _scale_for
+    from stitchingvideo_tpu.register.pipeline import register_images
+
+    views, K, Rs, f, tex = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=3)
+    cfg = _cfg(warp_type="spherical", expos_comp="no")
+    ws = _scale_for(cfg.scales.work_megapix, views[0].shape[1],
+                    views[0].shape[0])
+    reg = register_images(_resize_all(views, ws), cfg, seed=0)
+    return views, ws, reg
+
+
+@pytest.mark.slow
+def test_stitch_synthetic_e2e():
+    """One full stitch() E2E (registration + faithful compose in one call)."""
+    views, *_ = synthetic.make_scene(
+        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=3)
+    cfg = _cfg(warp_type="spherical", blend_type="feather",
+               seam_find="voronoi", expos_comp="no")
+    pano, mask = Stitcher(cfg).stitch(views)
+    assert pano.ndim == 3 and pano.shape[2] == 3
+    assert mask.any()
+    assert pano.shape[1] > 600
+    assert mask.mean() > 0.5
+    assert pano[mask].mean() > 30
+
+
 @pytest.mark.parametrize("blend,seam", [
-    ("feather", "voronoi"),
     ("multiband", "gc_color"),
     ("no", "voronoi"),
     ("multiband", "dp_color"),
 ])
 @pytest.mark.slow
-def test_stitch_synthetic(blend, seam):
-    views, K, Rs, f, tex = synthetic.make_scene(
-        n=3, img_wh=(512, 384), fov_deg=55, overlap_frac=0.4, seed=3)
+def test_stitch_synthetic(blend, seam, synth_scene_reg):
+    views, ws, reg = synth_scene_reg
+    from stitchingvideo_tpu.models.compose_cv import compose_panorama_cv
     cfg = _cfg(warp_type="spherical", blend_type=blend, seam_find=seam,
                expos_comp="no")
-    st = Stitcher(cfg)
-    pano, mask = st.stitch(views)
+    kept = [views[i] for i in reg.indices]
+    pano, mask = compose_panorama_cv(kept, reg.cameras,
+                                     float(reg.warped_image_scale), ws, cfg)
     assert pano.ndim == 3 and pano.shape[2] == 3
     assert mask.any()
     # panorama must be wider than a single view and mostly covered
@@ -153,12 +186,13 @@ def test_registration_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(pano1, pano2)
 
 
-@pytest.mark.parametrize("kind", ["fisheye", "mercator", "paniniA2B1",
-                                  "stereographic"])
+@pytest.mark.parametrize("kind", ["fisheye", "mercator"])
 @pytest.mark.slow
 def test_stitch_exotic_warp_types(kind):
     """Integration smoke: the full pipeline runs for non-default projections
-    (ROI detection + map rasterization + blending)."""
+    (ROI detection + map rasterization + blending). Two representative kinds
+    here; per-map parity vs cv2.PyRotationWarper covers all 15 projections
+    (test_projections.py)."""
     views, *_ = synthetic.make_scene(n=3, img_wh=(384, 288), fov_deg=55,
                                      overlap_frac=0.45, seed=6)
     cfg = _cfg(warp_type=kind, blend_type="feather", seam_find="voronoi",
