@@ -149,7 +149,35 @@ def bench_registration(frames):
     return cold, warm, stages, vs
 
 
+def _arm_watchdog(result: dict, deadline_s: float):
+    """Print whatever was measured and exit if the bench wedges.
+
+    The remote TPU relay can hang indefinitely (observed: backend init
+    blocking forever during a relay outage). Without this, a wedged run
+    records NOTHING; with it, the partial result dict plus an error marker
+    is still emitted as the one JSON line. Returns a disarm callable."""
+    import threading
+    done = threading.Event()
+
+    def fire():
+        if done.wait(timeout=deadline_s):
+            return
+        result.setdefault("error", f"watchdog: bench exceeded {deadline_s:.0f}s "
+                          "(TPU relay hang?)")
+        print(json.dumps(result), flush=True)
+        # exit 0: the partial JSON line is the record; a nonzero code could
+        # make a driver discard it entirely
+        os._exit(0)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done.set
+
+
 def main():
+    result = {}
+    disarm = _arm_watchdog(
+        result, float(os.environ.get("BENCH_DEADLINE_S", "3600")))
+
     import jax
     import jax.numpy as jnp
 
@@ -157,7 +185,6 @@ def main():
     enable_compilation_cache()
 
     frames_list, source = load_frames()
-    result = {}
 
     reg_state = None
     if source == "reference_footage":
@@ -406,6 +433,7 @@ def main():
                 result["multiband_latency_ms_p95"] = p95m
         except Exception as e:
             result["multiband_error"] = repr(e)[:200]
+    disarm()
     print(json.dumps(result))
 
 
