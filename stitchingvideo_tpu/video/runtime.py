@@ -696,7 +696,10 @@ class VideoStitcher:
                 except Exception:
                     # registration failure: keep streaming with the old LUT and
                     # retry on the next trigger (reference retry loop :822-826)
-                    pass
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "re-registration failed; keeping the previous LUT",
+                        exc_info=True)
                 finally:
                     self._reg_busy.clear()
 

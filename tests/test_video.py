@@ -103,6 +103,34 @@ def test_registration_save_load_composites_identically(scene, tmp_path):
 
 
 @pytest.mark.slow
+def test_checkpoint_into_sharded_feather_mode(scene, tmp_path):
+    """A saved registration loaded into a canvas-sharded feather-mode
+    stitcher must bring the SHARDED feather kernel live (no silent demotion)
+    and compose bit-identically to the unsharded feather path."""
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    vs.register(list(views))
+    p = str(tmp_path / "reg.npz")
+    vs.save_registration(p)
+
+    def mode_cfg(shards):
+        cfg = _cfg()
+        return cfg.replace(
+            video=dataclasses.replace(cfg.video, compose_mode="feather"),
+            parallel=dataclasses.replace(cfg.parallel, canvas_shards=shards))
+
+    vs1 = VideoStitcher(mode_cfg(1))
+    vs1.load_registration(p)
+    assert vs1._ftlut is not None and vs1._ftlut[0] == "fmat"
+    vs2 = VideoStitcher(mode_cfg(2))
+    vs2.load_registration(p)
+    assert vs2._ftlut is not None and vs2._ftlut[0] == "fmat_sharded"
+    p1 = vs1.composite(list(views))
+    p2 = vs2.composite(list(views))
+    np.testing.assert_array_equal(p1, p2)
+
+
+@pytest.mark.slow
 def test_extent_crop_removes_bucket_pad(scene):
     """The 64-px canvas bucket pad (uncovered, black) must not reach the
     output: the crop is computed from the TRUE extent (advisor r2 medium)."""
