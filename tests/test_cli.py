@@ -185,3 +185,39 @@ def test_display_sink_key_callback(monkeypatch):
     assert s.frames_written == 3
     assert len(shown) == 3
     assert pressed == [ord("a"), ord("q")]  # -1 (no key) filtered out
+
+
+def test_sink_routing_and_edges(tmp_path):
+    """make_sink routes by extension; VideoFileSink rejects a mid-stream
+    frame-size change (an encoder cannot resize); StillSink keeps only the
+    first frame; TeeSink fans out and counts once."""
+    import imageio.v3 as iio
+
+    from stitchingvideo_tpu.video import sink as sm
+
+    f1 = np.full((32, 48, 3), 10, np.uint8)
+    f2 = np.full((32, 48, 3), 200, np.uint8)
+
+    s = sm.make_sink(str(tmp_path / "frames_dir"))
+    assert isinstance(s, sm.FrameDirSink)
+    s.write(f1, 0); s.write(f2, 1); s.close()
+    assert sorted(p.name for p in (tmp_path / "frames_dir").iterdir()) == \
+        ["frame_000000.jpg", "frame_000001.jpg"]
+
+    still = sm.make_sink(str(tmp_path / "one.png"))
+    assert isinstance(still, sm.StillSink)
+    still.write(f1, 0); still.write(f2, 1); still.close()
+    assert still.frames_written == 1
+    assert iio.imread(tmp_path / "one.png").mean() < 50   # first frame only
+
+    vid = sm.make_sink(str(tmp_path / "out.avi"))
+    assert isinstance(vid, sm.VideoFileSink)
+    vid.write(f1, 0)
+    with pytest.raises(ValueError, match="frame size changed"):
+        vid.write(np.zeros((16, 48, 3), np.uint8), 1)
+    vid.close()
+
+    tee = sm.TeeSink(sm.StillSink(str(tmp_path / "t.png")),
+                     sm.FrameDirSink(str(tmp_path / "t_dir")))
+    tee.write(f1, 0); tee.write(f2, 1); tee.close()
+    assert tee.frames_written == 2
