@@ -275,6 +275,10 @@ class VideoStitcher:
                              jax.device_put(build_feather_mat(
                                  blut, tuple(frame_hw))))
                 except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "feather kernel build failed; demoting to the exact "
+                        "XLA dual-gather path (slower)", exc_info=True)
                     state = ("fgather", jax.device_put(blut))
             with self._lock:
                 self._ftlut = state
@@ -366,6 +370,10 @@ class VideoStitcher:
                     pass
             return ("tiled", jax.device_put(tlut))
         except Exception:
+            import logging
+            logging.getLogger(__name__).warning(
+                "Pallas composite state build failed; the hot loop will use "
+                "the XLA gather reference path (slow)", exc_info=True)
             return None
 
     def _crop_slices(self, shape, extent_wh=None):
