@@ -80,7 +80,8 @@ def _column_pieces(valid: np.ndarray) -> List[Tuple[int, int]]:
     cols = np.flatnonzero(valid.any(axis=0))
     if cols.size == 0:
         return []
-    gaps = np.flatnonzero(np.diff(cols) > SPLIT_GAP)
+    # diff between consecutive covered columns = uncovered gap + 1
+    gaps = np.flatnonzero(np.diff(cols) - 1 > SPLIT_GAP)
     starts = np.concatenate([[0], gaps + 1])
     ends = np.concatenate([gaps, [cols.size - 1]])
     return [(int(cols[s]), int(cols[e]) + 1) for s, e in zip(starts, ends)]

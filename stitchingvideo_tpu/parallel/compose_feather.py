@@ -18,9 +18,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.pallas.composite import TILE_H
-from ..ops.pallas.composite_feather import (FB_BUCKET, GROUP, FeatherMatLUT,
+from ..ops.pallas.composite_feather import (GROUP, FeatherMatLUT,
                                             composite_feather_planar)
-from .compose_mat2 import _band_slices, _uniform_count
+from .compose_mat2 import band_fallback
 
 
 @flax.struct.dataclass
@@ -94,35 +94,13 @@ def shard_feather_lut(ml: FeatherMatLUT, mesh: Mesh) -> ShardedFeather:
         # flat per-tile arrays [Tg*GROUP*k] -> [ndev, Tgb*GROUP*k]
         return a.reshape(ndev, Tgb * GROUP * per_group)
 
-    n_fb_real = int(ml.n_fallback)
     Ppix = ml.fb_cam.shape[-1] if ml.fb_cam.size else TILE_H * 128
-    if n_fb_real:
-        fb_tid = np.asarray(ml.fb_tid)[:n_fb_real].astype(np.int64)
-        fb_u = _uniform_count(fb_tid, ndev, T_b, FB_BUCKET, T_b)
-        fb_idx, fb_pad = _band_slices(fb_tid, ndev, T_b, fb_u)
-        ffi = jnp.asarray(fb_idx.reshape(-1))
-
-        def ftake(a):
-            return jnp.take(a, ffi, axis=0).reshape((ndev, fb_u)
-                                                    + a.shape[1:])
-
-        fb_tid_l = jnp.asarray(
-            np.where(fb_pad, 0,
-                     fb_tid[fb_idx] - np.arange(ndev)[:, None] * T_b)
-            .astype(np.int32))
-        fb_valid_l = jnp.asarray(~fb_pad)
-        fb_cam_l = ftake(ml.fb_cam)
-        fb_sx_l = ftake(ml.fb_sx)
-        fb_sy_l = ftake(ml.fb_sy)
-        fb_gw_l = ftake(ml.fb_gw)
-    else:
-        fb_u = 0
-        fb_tid_l = jnp.zeros((ndev, 0), jnp.int32)
-        fb_valid_l = jnp.zeros((ndev, 0), bool)
-        fb_cam_l = jnp.zeros((ndev, 0, 2, Ppix), jnp.int32)
-        fb_sx_l = jnp.zeros((ndev, 0, 2, Ppix), jnp.float32)
-        fb_sy_l = jnp.zeros((ndev, 0, 2, Ppix), jnp.float32)
-        fb_gw_l = jnp.zeros((ndev, 0, 2, Ppix), jnp.float32)
+    fb_u, fb_tid_l, fb_valid_l, \
+        (fb_cam_l, fb_sx_l, fb_sy_l, fb_gw_l) = band_fallback(
+            ml.fb_tid, int(ml.n_fallback), ndev, T_b,
+            (ml.fb_cam, ml.fb_sx, ml.fb_sy, ml.fb_gw),
+            (((2, Ppix), jnp.int32), ((2, Ppix), jnp.float32),
+             ((2, Ppix), jnp.float32), ((2, Ppix), jnp.float32)))
 
     def put(a):
         spec = P(*(("canvas",) + (None,) * (a.ndim - 1)))

@@ -105,6 +105,34 @@ def _band_slices(gids: np.ndarray, ndev: int, per_band: int, tgc_u: int):
     return idx, pad
 
 
+def band_fallback(fb_tid_full, n_fb_real: int, ndev: int, band_tiles: int,
+                  arrays, tails, bucket: int = FB_BUCKET):
+    """Bucket per-tile fallback entries into ndev uniform-count row bands.
+
+    Shared by the mat2 and feather sharded kernels — the banding rule
+    (membership by tile id, pad entries as fb_valid=False self-writes) must
+    stay identical between them. `arrays` are the per-entry payloads
+    [n_fb_real(+), ...]; `tails` is a matching list of (tail_shape, dtype)
+    used to build empty results. Returns
+    (fb_u, fb_tid_local [ndev, fb_u] i32, fb_valid [ndev, fb_u] bool,
+     banded arrays [ndev, fb_u, *tail])."""
+    if n_fb_real:
+        fb_tid = np.asarray(fb_tid_full)[:n_fb_real].astype(np.int64)
+        fb_u = _uniform_count(fb_tid, ndev, band_tiles, bucket, band_tiles)
+        fb_idx, fb_pad = _band_slices(fb_tid, ndev, band_tiles, fb_u)
+        ffi = jnp.asarray(fb_idx.reshape(-1))
+        taken = [jnp.take(a, ffi, axis=0).reshape((ndev, fb_u) + a.shape[1:])
+                 for a in arrays]
+        fb_tid_l = jnp.asarray(
+            np.where(fb_pad, 0,
+                     fb_tid[fb_idx] - np.arange(ndev)[:, None] * band_tiles)
+            .astype(np.int32))
+        return fb_u, fb_tid_l, jnp.asarray(~fb_pad), taken
+    zeros = [jnp.zeros((ndev, 0) + tuple(t), d) for t, d in tails]
+    return (0, jnp.zeros((ndev, 0), jnp.int32),
+            jnp.zeros((ndev, 0), bool), zeros)
+
+
 def shard_mat2_lut(ml: MatLUT2, mesh: Mesh) -> ShardedMat2:
     """Split a global MatLUT2 into ndev shape-identical row-band LUTs and
     place them canvas-sharded. Requires the panorama rows padded so the tile
@@ -160,37 +188,14 @@ def shard_mat2_lut(ml: MatLUT2, mesh: Mesh) -> ShardedMat2:
     h_vx, h_vy, h_gcs, h_cam, h_org, h_band, h_gid_l = \
         split_class(ml.hard, h_gid, tgH)
 
-    # fallback tiles: the valid prefix of fb_tid is ascending (stable argsort
-    # over tile id), so bands are contiguous runs here too
-    n_fb_real = int(ml.n_fallback)
+    # fallback tiles: banded by tile-id membership (shared helper)
     Ppix = ml.fb_cam.shape[1] if ml.fb_cam.size else TILE_H * 128
-    if n_fb_real:
-        fb_tid = np.asarray(ml.fb_tid)[:n_fb_real].astype(np.int64)
-        fb_u = _uniform_count(fb_tid, ndev, T_b, FB_BUCKET, T_b)
-        fb_idx, fb_pad = _band_slices(fb_tid, ndev, T_b, fb_u)
-        ffi = jnp.asarray(fb_idx.reshape(-1))
-
-        def ftake(a):
-            return jnp.take(a, ffi, axis=0).reshape((ndev, fb_u)
-                                                    + a.shape[1:])
-
-        fb_tid_l = jnp.asarray(
-            np.where(fb_pad, 0,
-                     fb_tid[fb_idx] - np.arange(ndev)[:, None] * T_b)
-            .astype(np.int32))
-        fb_valid_l = jnp.asarray(~fb_pad)
-        fb_cam_l = ftake(ml.fb_cam)
-        fb_sx_l = ftake(ml.fb_sx)
-        fb_sy_l = ftake(ml.fb_sy)
-        fb_gain_l = ftake(ml.fb_gain)
-    else:
-        fb_u = 0
-        fb_tid_l = jnp.zeros((ndev, 0), jnp.int32)
-        fb_valid_l = jnp.zeros((ndev, 0), bool)
-        fb_cam_l = jnp.zeros((ndev, 0, Ppix), jnp.int32)
-        fb_sx_l = jnp.zeros((ndev, 0, Ppix), jnp.float32)
-        fb_sy_l = jnp.zeros((ndev, 0, Ppix), jnp.float32)
-        fb_gain_l = jnp.zeros((ndev, 0, Ppix), jnp.float32)
+    fb_u, fb_tid_l, fb_valid_l, \
+        (fb_cam_l, fb_sx_l, fb_sy_l, fb_gain_l) = band_fallback(
+            ml.fb_tid, int(ml.n_fallback), ndev, T_b,
+            (ml.fb_cam, ml.fb_sx, ml.fb_sy, ml.fb_gain),
+            (((Ppix,), jnp.int32), ((Ppix,), jnp.float32),
+             ((Ppix,), jnp.float32), ((Ppix,), jnp.float32)))
 
     def put(a):
         spec = P(*(("canvas",) + (None,) * (a.ndim - 1)))

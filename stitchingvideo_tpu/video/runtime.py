@@ -117,6 +117,13 @@ class VideoStitcher:
         """Full registration from the given frame set; atomically swaps the
         LUT in (GetPreStruct + UpdateMat parity)."""
         frame_hw = frames[0].shape[:2]
+        if self.registrations == 0:
+            # this instance's first registration loads ITS OWN executables
+            # (a sharded-kernel stitcher created after a single-device one
+            # compiles fresh programs) — re-arm span syncing so those loads
+            # don't overlap and poison each other on the TPU relay
+            from ..utils.timing import set_sync_spans
+            set_sync_spans(True)
         if self.cfg.undistort.enabled:
             # Registration runs on undistorted frames; the undistort LUT is
             # composed into the final maps so the hot loop consumes RAW frames
@@ -479,12 +486,17 @@ class VideoStitcher:
         # camera indexing inside it can never mix two registrations mid-swap
         with self._lock:
             reg = self._reg
+            lut, tlut = self._lut, self._tlut
             ftlut, ft_reg = self._ftlut, self._ftlut_reg
             mbt, mb_reg = self._mbtlut, self._mbtlut_reg
         if mode == "lut":
-            return np.asarray(
-                self.composite_device(jnp.asarray(np.stack(
-                    self._select_frames(frames, reg)))))
+            out = self._planar_with(
+                jnp.asarray(np.stack(self._select_frames(frames, reg))),
+                lut, tlut)
+            if out.ndim == 3 and out.shape[0] == 3:
+                from ..ops.pallas.composite_mat import planar_to_hwc
+                out = planar_to_hwc(out)
+            return np.asarray(out)
         if mode == "feather" and ftlut is not None:
             from ..ops.pallas.composite_mat import planar_to_hwc
             sel = self._select_frames(frames, ft_reg or reg)
@@ -591,12 +603,20 @@ class VideoStitcher:
                 "multiband_video_frame directly (see bench.py) or use "
                 "compose_mode='lut'/'feather'")
         if self.cfg.video.compose_mode == "feather":
-            if ftlut is None or ftlut[0] != "fmat":
+            if ftlut is None or ftlut[0] not in ("fmat", "fmat_sharded"):
                 raise RuntimeError("feather micro-batch path requires the "
                                    "materialized feather state")
+            if ftlut[0] == "fmat_sharded":
+                sf, sfn, Hp = ftlut[1]
+                return jax.lax.map(lambda f: sfn(f, sf),
+                                   planar_batch)[:, :, :Hp]
             from ..ops.pallas.composite_feather import \
                 composite_feather_planar as fn
             ml = ftlut[1]
+        elif tlut is not None and tlut[0] in ("mat_sharded", "mat2_sharded"):
+            sm, sfn, Hp = tlut[1]
+            return jax.lax.map(lambda f: sfn(f, sm),
+                               planar_batch)[:, :, :Hp]
         elif tlut is not None and tlut[0] in ("mat", "mat2"):
             ml = tlut[1]
             if tlut[0] == "mat2":
@@ -617,6 +637,13 @@ class VideoStitcher:
         with self._lock:
             lut = self._lut
             tlut = self._tlut
+        return self._planar_with(batch, lut, tlut)
+
+    def _planar_with(self, batch: jnp.ndarray, lut, tlut) -> jnp.ndarray:
+        """Hot path on CALLER-snapshotted LUT state: composite() snapshots
+        the registration and its kernels under ONE lock acquisition, so a
+        concurrent install_lut between frame selection and the kernel call
+        cannot compose old-subset frames through a new registration's LUT."""
         if lut is None:
             raise RuntimeError("not registered yet")
         interpret = jax.default_backend() != "tpu"
@@ -651,7 +678,10 @@ class VideoStitcher:
             raise RuntimeError("no live registration to save")
         d = reg.state_dict()
         d["frame_hw"] = np.asarray(fhw, np.int32)
-        np.savez_compressed(path, **d)
+        # write through an open handle: np.savez_compressed(str) silently
+        # appends '.npz' to bare paths, which load_registration then misses
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **d)
 
     def load_registration(self, path: str) -> None:
         """Load a saved registration and swap it in through the same

@@ -259,6 +259,16 @@ def test_videostitcher_multichip_feather_mode(rng):
     assert np.median(d) == 0 and (d <= 2).mean() > 0.999, \
         (np.median(d), float((d <= 2).mean()))
 
+    # feather micro-batch on the SHARDED state (regression: raised
+    # RuntimeError because only 'fmat' was accepted)
+    from stitchingvideo_tpu.ops.pallas.composite_mat import frames_to_planar_i8
+    planar = frames_to_planar_i8(jnp.asarray(np.stack(views)))
+    mb = np.asarray(vs8.composite_microbatch(jnp.stack([planar, planar])))
+    np.testing.assert_array_equal(mb[0], mb[1])
+    single = np.asarray(vs8.composite_feather_planar(
+        jnp.asarray(np.stack(views))))
+    np.testing.assert_array_equal(mb[0], single)
+
 
 def test_multihost_ingest_assembly(mesh8):
     """global_camera_batch shards per-process captures over the camera axis;
@@ -354,3 +364,12 @@ def test_videostitcher_multichip_product_path(rng):
     d = np.abs(pano_sh.astype(np.int16) - pano_1.astype(np.int16))
     assert np.median(d) == 0 and (d <= 2).mean() > 0.999, \
         (np.median(d), float((d <= 2).mean()))
+
+    # micro-batch serving must work on the sharded state too (regression:
+    # it used to raise RuntimeError whenever the kernel was sharded)
+    from stitchingvideo_tpu.ops.pallas.composite_mat import frames_to_planar_i8
+    planar = frames_to_planar_i8(frames)
+    mb = np.asarray(vs.composite_microbatch(jnp.stack([planar, planar])))
+    per_frame = np.asarray(vs.composite_planar(frames))
+    np.testing.assert_array_equal(mb[0], mb[1])
+    np.testing.assert_array_equal(mb[0], per_frame)

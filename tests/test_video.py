@@ -1,5 +1,6 @@
 """Video runtime: LUT parity with still compose, streaming loop, shm ring."""
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -92,8 +93,11 @@ def test_registration_save_load_composites_identically(scene, tmp_path):
     vs = VideoStitcher(cfg)
     vs.register(list(views))
     pano0 = vs.composite(list(views))
-    p = str(tmp_path / "reg.npz")
+    # a bare (non-.npz) path must round-trip too: np.savez_compressed(str)
+    # appends '.npz' silently — save_registration writes the exact path
+    p = str(tmp_path / "reg.ckpt")
     vs.save_registration(p)
+    assert os.path.exists(p) and not os.path.exists(p + ".npz")
 
     vs2 = VideoStitcher(_cfg())
     vs2.load_registration(p)
