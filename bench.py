@@ -73,6 +73,9 @@ def synthetic_lut(n_cams=5, fh=1080, fw=1920, pano_h=1280, pano_w=7168):
                          .astype(np.float32)))
 
 
+_COLD_CHILD = None   # live cold-sample subprocess, killed by the watchdog
+
+
 def cold_registration_subprocess(timeout_s: float = 1200.0):
     """One fresh-process cold registration; returns seconds or None.
 
@@ -100,16 +103,26 @@ def cold_registration_subprocess(timeout_s: float = 1200.0):
         "t0 = time.perf_counter()\n"
         "vs.register(frames, seed=0)\n"
         "print('COLD_S', time.perf_counter() - t0)\n")
+    global _COLD_CHILD
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-c", code],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=timeout_s)
-        for line in proc.stdout.splitlines():
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        _COLD_CHILD = proc
+        try:
+            out, _err = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return None
+        for line in out.splitlines():
             if line.startswith("COLD_S "):
                 return float(line.split()[1])
     except Exception:
         pass
+    finally:
+        _COLD_CHILD = None
     return None
 
 
@@ -165,6 +178,15 @@ def _arm_watchdog(result: dict, deadline_s: float):
         result.setdefault("error", f"watchdog: bench exceeded {deadline_s:.0f}s "
                           "(TPU relay hang?)")
         print(json.dumps(result), flush=True)
+        # the cold-sample child enforces its own timeout through the parent's
+        # communicate() — kill it before _exit or it runs unbounded holding
+        # a TPU client, poisoning the next bench run
+        child = _COLD_CHILD
+        if child is not None:
+            try:
+                child.kill()
+            except Exception:
+                pass
         # exit 0: the partial JSON line is the record; a nonzero code could
         # make a driver discard it entirely
         os._exit(0)

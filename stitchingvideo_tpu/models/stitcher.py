@@ -413,9 +413,7 @@ class Stitcher:
         # device-side field build in ONE dispatch for all cameras — the maps
         # stay in HBM from rasterization straight into the Registration pytree
         k_rinvs_c = _np_camera_maps(np.stack(Ks).astype(np.float32), R_all)[1]
-        wh_arr = np.array([[round(full_kept[i].shape[1] * compose_scale),
-                            round(full_kept[i].shape[0] * compose_scale)]
-                           for i in range(n)], np.float32)
+        wh_arr = np.asarray(c_sizes, np.float32)
         roi_arr = np.array(c_shapes, np.int32)
         xmaps, ymaps, valids, seam_rois, gain_rois = _compose_fields_batch(
             kind, c_scale, jnp.asarray(k_rinvs_c),

@@ -123,11 +123,20 @@ def band_fallback(fb_tid_full, n_fb_real: int, ndev: int, band_tiles: int,
         ffi = jnp.asarray(fb_idx.reshape(-1))
         taken = [jnp.take(a, ffi, axis=0).reshape((ndev, fb_u) + a.shape[1:])
                  for a in arrays]
-        fb_tid_l = jnp.asarray(
-            np.where(fb_pad, 0,
-                     fb_tid[fb_idx] - np.arange(ndev)[:, None] * band_tiles)
-            .astype(np.int32))
-        return fb_u, fb_tid_l, jnp.asarray(~fb_pad), taken
+        tid_band = (fb_tid[fb_idx]
+                    - np.arange(ndev)[:, None] * band_tiles).astype(np.int32)
+        # pad entries self-write (merged = cur), but the overlay scatter is
+        # duplicate-index last-wins — a pad aimed at a REAL fallback tile
+        # would restore that tile's stale pre-overlay value. Aim each band's
+        # pads at a tile id the band's real entries don't use (one always
+        # exists: a fully-fallback band has no pads).
+        for b in range(ndev):
+            if not fb_pad[b].any():
+                continue
+            used = set(tid_band[b, ~fb_pad[b]].tolist())
+            free = next(t for t in range(band_tiles) if t not in used)
+            tid_band[b, fb_pad[b]] = free
+        return fb_u, jnp.asarray(tid_band), jnp.asarray(~fb_pad), taken
     zeros = [jnp.zeros((ndev, 0) + tuple(t), d) for t, d in tails]
     return (0, jnp.zeros((ndev, 0), jnp.int32),
             jnp.zeros((ndev, 0), bool), zeros)

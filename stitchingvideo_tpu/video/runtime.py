@@ -15,6 +15,7 @@ through cached LUTs while a registration worker re-registers every K seconds
 """
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from dataclasses import dataclass, field
@@ -32,6 +33,8 @@ from ..ops.remap import remap
 from ..utils.timing import Timer
 from .lut import CompositeLUT, build_lut, composite_frame_u8
 from .sources import FrameSource
+
+log = logging.getLogger(__name__)
 
 
 def _fit2d(a: jnp.ndarray, fill, shape) -> jnp.ndarray:
@@ -216,8 +219,7 @@ class VideoStitcher:
                     self._mbtlut_reg = reg
                 return True
             except Exception:
-                import logging
-                logging.getLogger(__name__).warning(
+                log.warning(
                     "multiband video state build failed; using the full "
                     "blend path", exc_info=True)
                 with self._lock:
@@ -246,8 +248,7 @@ class VideoStitcher:
                 if out_shape is not None and blut.shape != tuple(out_shape):
                     blut = self._fit_blend(blut, out_shape)
             except Exception:
-                import logging
-                logging.getLogger(__name__).warning(
+                log.warning(
                     "feather blend-LUT build failed; frames will use the "
                     "slow full-blend path", exc_info=True)
                 with self._lock:
@@ -272,8 +273,7 @@ class VideoStitcher:
                                                       interpret=interp)
                     state = ("fmat_sharded", (sf, fn, Hp))
                 except Exception:
-                    import logging
-                    logging.getLogger(__name__).warning(
+                    log.warning(
                         "sharded feather build failed; using single-device",
                         exc_info=True)
             if state is None:
@@ -282,8 +282,7 @@ class VideoStitcher:
                              jax.device_put(build_feather_mat(
                                  blut, tuple(frame_hw))))
                 except Exception:
-                    import logging
-                    logging.getLogger(__name__).warning(
+                    log.warning(
                         "feather kernel build failed; demoting to the exact "
                         "XLA dual-gather path (slower)", exc_info=True)
                     state = ("fgather", jax.device_put(blut))
@@ -323,8 +322,7 @@ class VideoStitcher:
                     fn = sharded_composite_mat2_fn(mesh, sm, interpret=interp)
                     return ("mat2_sharded", (sm, fn, Hp))
                 except Exception:
-                    import logging
-                    logging.getLogger(__name__).warning(
+                    log.warning(
                         "sharded mat2 build failed; trying sharded mat",
                         exc_info=True)
             try:
@@ -336,8 +334,7 @@ class VideoStitcher:
                 if int(tlut.n_fallback) != 0:
                     # the mat kernel has no per-tile fallback overlay;
                     # >2-camera tiles would compose wrong — demote loudly
-                    import logging
-                    logging.getLogger(__name__).warning(
+                    log.warning(
                         "multichip compose demoted to single-device: %d "
                         "fallback tiles and the mat2 path unavailable",
                         int(tlut.n_fallback))
@@ -347,8 +344,7 @@ class VideoStitcher:
                     return ("mat_sharded", (shard_mat_lut(ml, mesh), fn, Hp))
             except Exception:
                 # never a silent demotion: the user asked for multichip
-                import logging
-                logging.getLogger(__name__).warning(
+                log.warning(
                     "multichip compose demoted to single-device "
                     "(sharded kernel build failed)", exc_info=True)
         try:
@@ -377,8 +373,7 @@ class VideoStitcher:
                     pass
             return ("tiled", jax.device_put(tlut))
         except Exception:
-            import logging
-            logging.getLogger(__name__).warning(
+            log.warning(
                 "Pallas composite state build failed; the hot loop will use "
                 "the XLA gather reference path (slow)", exc_info=True)
             return None
@@ -734,8 +729,7 @@ class VideoStitcher:
                 except Exception:
                     # registration failure: keep streaming with the old LUT and
                     # retry on the next trigger (reference retry loop :822-826)
-                    import logging
-                    logging.getLogger(__name__).warning(
+                    log.warning(
                         "re-registration failed; keeping the previous LUT",
                         exc_info=True)
                 finally:

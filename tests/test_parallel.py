@@ -131,6 +131,44 @@ def test_sharded_mat2_matches_single_with_fallback(mesh8, rng):
 
 
 @pytest.mark.slow
+def test_sharded_mat2_fallback_at_band_tile0(mesh8, rng):
+    """Regression: band_fallback's PAD entries once used local tile id 0.
+    The overlay scatter is duplicate-index last-wins, so when a REAL
+    fallback tile sat at a band's first tile, the pads (which write back
+    their pre-overlay value) restored the stale 2-camera kernel value over
+    the exact-gather overlay — garbage on that tile only in multichip."""
+    from stitchingvideo_tpu.ops.pallas.composite import build_tiled_lut
+    from stitchingvideo_tpu.ops.pallas.composite_mat import \
+        frames_to_planar_i8
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+        _materialize2, composite_mat2_planar)
+    from stitchingvideo_tpu.parallel.compose_mat2 import (
+        shard_mat2_lut, sharded_composite_mat2_fn)
+    from stitchingvideo_tpu.video.lut import CompositeLUT
+    from tests.test_pallas_composite import _make_state
+
+    frames, lut = _make_state(rng)
+    cam = np.asarray(lut.cam_idx).copy()
+    cam[0:8, 0:128] = np.arange(128)[None, :] % 3   # 3 cams in GLOBAL tile 0
+    lut = CompositeLUT(cam_idx=jnp.asarray(cam), src_x=lut.src_x,
+                       src_y=lut.src_y, gain=lut.gain)
+    tlut = build_tiled_lut(lut, (128, 512))
+    ml = _materialize2(tlut, (128, 512))
+    assert int(ml.n_fallback) >= 1
+    planar = frames_to_planar_i8(frames)
+    ref = np.asarray(composite_mat2_planar(planar, ml, interpret=True))
+
+    sm = shard_mat2_lut(ml, mesh8)
+    # the trap layout: band 0 has a real fb entry at local tid 0 AND pads
+    fb_tid = np.asarray(sm.fb_tid)
+    fb_valid = np.asarray(sm.fb_valid)
+    assert fb_valid[0, 0] and fb_tid[0, 0] == 0 and not fb_valid[0].all()
+    fn = sharded_composite_mat2_fn(mesh8, sm, interpret=True)
+    got = np.asarray(fn(planar, sm))[:, :ref.shape[1], :ref.shape[2]]
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.slow
 def test_sharded_mat2_easy_hard_mix(mesh8, rng):
     """Bands with unequal easy/hard class counts (pad groups -> scratch
     block) still match single-device bit-for-bit."""
