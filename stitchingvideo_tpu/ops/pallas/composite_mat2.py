@@ -572,6 +572,222 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
     return pano
 
 
+def _make_kernel_tile_batched(win_h: int, B: int):
+    """Per-TILE grid kernel with the micro-batch stacked into the matmul M
+    dimension: src for all B frames of a tile slot is one [B*win_h, VXW]
+    operand, so the x-interp matmul runs at M = B*win_h instead of 3*win_h.
+
+    Why: the measured MXU throughput on this chip is ~66 TFLOP/s at M=96
+    (the single-frame easy class) vs ~313-398 TFLOP/s at M>=768 — the
+    single-frame kernel wastes ~5/6 of the MXU on systolic fill, and a
+    pinned-weight probe showed the hot loop is compute-bound, not weight-
+    DMA-bound. Stacking B frames into M is the one restructuring that
+    attacks the actual wall. Weight blocks are per-GROUP (index t//GROUP)
+    so their HBM traffic also amortizes B-fold per frame."""
+    def _kernel(gid_ref, tile_cam_ref, tile_org_ref, tile_band_ref,
+                vx_ref, vy_ref, gcs_ref, frames_ref, out_ref, win, sem):
+        t = pl.program_id(0)
+        TN = pl.num_programs(0)
+        g = jax.lax.rem(t, GROUP)
+        buf = jax.lax.rem(t, 2)
+        nbuf = jax.lax.rem(t + 1, 2)
+
+        def cams(tt):
+            return tile_cam_ref[2 * tt], tile_cam_ref[2 * tt + 1]
+
+        def org(tt, k):
+            return tile_org_ref[4 * tt + k]
+
+        def dma(bslot, slot, b, tt, camv, oy, ox):
+            oy = pl.multiple_of(oy, ALIGN_Y)
+            ox = pl.multiple_of(ox, ALIGN_X)
+            kk = tile_band_ref[2 * tt + slot] // BAND_STEP
+            return pltpu.make_async_copy(
+                frames_ref.at[b, kk, camv, :,
+                              pl.ds(oy, win_h), pl.ds(ox, VXW)],
+                win.at[bslot, slot, b], sem.at[bslot, slot, b])
+
+        def start_tile(tt, bslot):
+            ca, cb = cams(tt)
+            for b in range(B):
+                dma(bslot, 0, b, tt, ca, org(tt, 0), org(tt, 1)).start()
+
+            @pl.when(cb != ca)
+            def _():
+                for b in range(B):
+                    dma(bslot, 1, b, tt, cb, org(tt, 2), org(tt, 3)).start()
+
+        @pl.when(t == 0)
+        def _():
+            start_tile(0, 0)
+
+        @pl.when(t + 1 < TN)
+        def _():
+            start_tile(t + 1, nbuf)
+
+        cam_a, cam_b = cams(t)
+        two = cam_b != cam_a
+        # slice the REFS (Mosaic lowers dynamic ref slices; dynamic_slice on
+        # a loaded value is unimplemented)
+        vy = vy_ref[0, pl.ds(pl.multiple_of(g * win_h, win_h), win_h), :] \
+            .astype(jnp.float32)                                   # [wh, P]
+        vxg = vx_ref[0, pl.ds(pl.multiple_of(g * VXW, VXW), VXW), :] \
+            .astype(jnp.bfloat16)                                  # [VXW, P]
+
+        def slot_val(slot):
+            # [3][B, P]: per channel one M=B*win_h matmul + the vy reduce
+            outs = []
+            for c in range(3):
+                src = win[buf, slot, :, c].reshape(B * win_h, VXW)                     .astype(jnp.bfloat16)
+                c_all = jax.lax.dot_general(
+                    src, vxg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                v = jnp.sum(c_all.reshape(B, win_h, P) * vy[None],
+                            axis=1)                                # [B, P]
+                outs.append(v * (1.0 / (127.0 * 127.0)))
+            return outs
+
+        gc = gcs_ref[0, g, :][None, :]
+        sel = gcs_ref[0, GROUP + g, :][None, :]
+        for b in range(B):
+            dma(buf, 0, b, t, cam_a, org(t, 0), org(t, 1)).wait()
+        acc = [v * sel for v in slot_val(0)]
+
+        @pl.when(two)
+        def _():
+            for b in range(B):
+                dma(buf, 1, b, t, cam_b, org(t, 2), org(t, 3)).wait()
+
+        res = jax.lax.cond(
+            two,
+            lambda: tuple(a + v * (1.0 - sel)
+                          for a, v in zip(acc, slot_val(1))),
+            lambda: tuple(acc))
+        for c in range(3):
+            out_ref[c, 0, :, :] = (res[c] + 128.0) * gc
+
+    return _kernel
+
+
+def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
+                        B: int, out_init=None, interpret: bool = False):
+    """Per-tile batched _class_call: planar_sh_b is [B, N_SHIFTS, N, 3, H, W]
+    int8; output [3, Tg_total*GROUP, B, P] f32 (tile-major, B as the sublane
+    dim so each block write is a full (B, P) tile)."""
+    TgC = cl.vx.shape[0]
+    T_alloc = Tg_total * GROUP
+
+    def out_ix(t, gid, *_):
+        return (0, gid[t // GROUP] * GROUP + t % GROUP, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(TgC * GROUP,),
+        in_specs=[
+            pl.BlockSpec((1, GROUP * VXW, P), lambda t, *_: (t // GROUP, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GROUP * win_h, P),
+                         lambda t, *_: (t // GROUP, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GPAD, P), lambda t, *_: (t // GROUP, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + ([pl.BlockSpec((3, 1, B, P), out_ix,
+                           memory_space=pltpu.VMEM)] if out_init is not None
+             else []) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, 1, B, P), out_ix,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, B, 3, win_h, VXW), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2, B)),
+        ],
+    )
+    kernel = _make_kernel_tile_batched(win_h, B)
+    out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), jnp.float32)
+    if out_init is not None:
+        def wrapped(gid_ref, cam_ref, org_ref, band_ref,
+                    vx_ref, vy_ref, gcs_ref, prev_ref, frames_ref,
+                    out_ref, win, sem):
+            del prev_ref  # aliased with out_ref; blocks not written persist
+            kernel(gid_ref, cam_ref, org_ref, band_ref,
+                   vx_ref, vy_ref, gcs_ref, frames_ref, out_ref, win, sem)
+        args = (cl.gid, cl.tile_cam, cl.tile_org, cl.tile_band,
+                cl.vx, cl.vy, cl.gcs, out_init, planar_sh_b)
+        return pl.pallas_call(
+            wrapped,
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            input_output_aliases={7: 0},
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(*args)
+    args = (cl.gid, cl.tile_cam, cl.tile_org, cl.tile_band,
+            cl.vx, cl.vy, cl.gcs, planar_sh_b)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(*args)
+
+
+MB_CHUNK = 8    # frames stacked per kernel pass (VMEM-bounded: the hard-
+                # class window scratch is 2*2*B*3*80*256 int8 = 6.3 MB at 8)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Micro-batched mat2 composite: [B, N, 3, H, W] int8 (value-128) ->
+    [B, 3, Hp, Wp] uint8, bit-identical per frame to composite_mat2_planar.
+
+    The serving-shape hot loop: B frames are stacked into the matmul M
+    dimension (see _make_kernel_tile_batched), which both runs the MXU at
+    ~3-5x the single-frame efficiency and amortizes the weight-stream HBM
+    traffic B-fold. B is chunked to MB_CHUNK per kernel pass."""
+    B = planar_b_i8.shape[0]
+    if B > MB_CHUNK:
+        pad = (-B) % MB_CHUNK
+        pb = jnp.pad(planar_b_i8, ((0, pad),) + ((0, 0),) * 4)
+        chunks = pb.reshape((B + pad) // MB_CHUNK, MB_CHUNK, *pb.shape[1:])
+        out = jax.lax.map(
+            lambda ch: composite_mat2_planar_batched(ch, ml,
+                                                     interpret=interpret),
+            chunks)
+        return out.reshape(B + pad, *out.shape[2:])[:B]
+
+    Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
+    frames_sh = jax.vmap(shift_planar)(planar_b_i8)
+    if ml.tg_hard > 0:
+        out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
+                                  None, interpret)
+        if ml.tg_easy > 0:
+            out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
+                                      out, interpret)
+    else:
+        out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
+                                  None, interpret)
+
+    nty, ntx = ml.grid_hw
+    Hp, Wp = ml.pano_hw
+    # [3, T_alloc, B, P] -> [B, 3, T, P]
+    out = out.transpose(2, 0, 1, 3)
+    if ml.n_fb:
+        vals = jax.vmap(_fallback_values, in_axes=(0, None))(planar_b_i8, ml)
+        cur = out[:, :, ml.fb_tid, :]
+        merged = jnp.where(ml.fb_valid[None, None, :, None], vals, cur)
+        out = out.at[:, :, ml.fb_tid, :].set(merged)
+    out = out[:, :, :ml.n_tiles]
+    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out.reshape(B, 3, nty, ntx, TILE_H, TILE_W) \
+              .transpose(0, 1, 2, 4, 3, 5) \
+              .reshape(B, 3, nty * TILE_H, ntx * TILE_W)[:, :, :Hp, :Wp]
+
+
 @partial(jax.jit, static_argnames=("pieces", "interpret"))
 def composite_mat2_planar_pieces(planar_i8: jnp.ndarray, ml: MatLUT2,
                                  pieces: int,

@@ -125,3 +125,33 @@ def test_mat2_used_compaction_pieces(rng):
         assert np.median(diff) <= 1
         assert (diff <= 4).mean() > 0.999, (p, (diff > 4).mean())
         assert (got[~m] == 0).all()                  # uncovered exact zero
+
+
+def test_mat2_batched_matches_per_frame(rng):
+    """composite_mat2_planar_batched == per-frame composite_mat2_planar,
+    bit for bit, on distinct frames per batch slot (incl. fallback tiles) —
+    the serving micro-batch path that amortizes the VMEM weight load."""
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import \
+        composite_mat2_planar_batched
+    from stitchingvideo_tpu.video.lut import CompositeLUT
+
+    frames, lut = _make_state(rng)
+    cam = np.array(lut.cam_idx)
+    cam[4:6, 200:210] = 1
+    cam[4:6, 210:220] = 2      # a 3-camera tile -> fallback overlay live
+    lut = CompositeLUT(cam_idx=jnp.asarray(cam), src_x=lut.src_x,
+                       src_y=lut.src_y, gain=lut.gain)
+    ml = build_mat2_lut(lut, (128, 512))
+    assert int(ml.n_fallback) > 0
+
+    B = 3
+    batch = np.stack([np.asarray(frames), np.asarray(frames)[:, ::-1],
+                      np.roll(np.asarray(frames), 7, axis=2)])
+    planar_b = jnp.stack([frames_to_planar_i8(jnp.asarray(b)) for b in batch])
+    got = np.asarray(composite_mat2_planar_batched(planar_b, ml,
+                                                   interpret=True))
+    assert got.shape[0] == B
+    for b in range(B):
+        ref = np.asarray(composite_mat2_planar(planar_b[b], ml,
+                                               interpret=True))
+        np.testing.assert_array_equal(got[b], ref)
