@@ -231,6 +231,29 @@ def main():
         except Exception as e:  # registration bench must not kill the fps bench
             result["registration_error"] = repr(e)[:200]
 
+    # Relay-congestion probe: one deliberately-fresh tiny compile (a unique
+    # constant baked into the HLO defeats every cache layer). On an idle
+    # relay this is ~1-3 s; during relay compile-queue congestion it has
+    # measured minutes. Interpret registration_cold_s against it — identical
+    # code with an identical warm cache has measured 15.6 s and 466 s cold
+    # minutes apart purely from this queue.
+    try:
+        # bypass the persistent cache so probe entries never pollute the
+        # committed .jax_cache (each probe is unique-by-construction anyway)
+        cache_dir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            t0 = time.perf_counter()
+            salt = float(int(time.time()) % 1000003)
+            x = jnp.full((8, 128), salt, jnp.float32)
+            np.asarray(jax.jit(lambda a: (a @ a.T + salt).sum())(x))
+            result["relay_compile_probe_s"] = round(
+                time.perf_counter() - t0, 2)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
     frames_np = np.stack(frames_list)
     path = "pallas_mat2_real_reg"
     if reg_state is not None:

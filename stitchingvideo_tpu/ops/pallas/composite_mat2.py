@@ -572,7 +572,7 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
     return pano
 
 
-def _make_kernel_tile_batched(win_h: int, B: int):
+def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
     """Per-TILE grid kernel with the micro-batch stacked into the matmul M
     dimension: src for all B frames of a tile slot is one [B*win_h, VXW]
     operand, so the x-interp matmul runs at M = B*win_h instead of 3*win_h.
@@ -583,7 +583,13 @@ def _make_kernel_tile_batched(win_h: int, B: int):
     pinned-weight probe showed the hot loop is compute-bound, not weight-
     DMA-bound. Stacking B frames into M is the one restructuring that
     attacks the actual wall. Weight blocks are per-GROUP (index t//GROUP)
-    so their HBM traffic also amortizes B-fold per frame."""
+    so their HBM traffic also amortizes B-fold per frame.
+
+    fused_dma: frames are [K, N, B, 3, H, W] (batch inside camera) and each
+    tile slot issues ONE strided async copy covering all B frames' windows
+    — 1 descriptor instead of B per slot, attacking the window-DMA issue
+    rate the M-stacking left as the wall. fused_dma=False keeps the
+    [B, K, N, 3, H, W] layout with per-frame copies (A/B reference)."""
     def _kernel(gid_ref, tile_cam_ref, tile_org_ref, tile_band_ref,
                 vx_ref, vy_ref, gcs_ref, frames_ref, out_ref, win, sem):
         t = pl.program_id(0)
@@ -598,7 +604,16 @@ def _make_kernel_tile_batched(win_h: int, B: int):
         def org(tt, k):
             return tile_org_ref[4 * tt + k]
 
-        def dma(bslot, slot, b, tt, camv, oy, ox):
+        def dma_fused(bslot, slot, tt, camv, oy, ox):
+            oy = pl.multiple_of(oy, ALIGN_Y)
+            ox = pl.multiple_of(ox, ALIGN_X)
+            kk = tile_band_ref[2 * tt + slot] // BAND_STEP
+            return pltpu.make_async_copy(
+                frames_ref.at[kk, camv, :, :,
+                              pl.ds(oy, win_h), pl.ds(ox, VXW)],
+                win.at[bslot, slot], sem.at[bslot, slot])
+
+        def dma_per_b(bslot, slot, b, tt, camv, oy, ox):
             oy = pl.multiple_of(oy, ALIGN_Y)
             ox = pl.multiple_of(ox, ALIGN_X)
             kk = tile_band_ref[2 * tt + slot] // BAND_STEP
@@ -607,15 +622,27 @@ def _make_kernel_tile_batched(win_h: int, B: int):
                               pl.ds(oy, win_h), pl.ds(ox, VXW)],
                 win.at[bslot, slot, b], sem.at[bslot, slot, b])
 
+        def start_slot(bslot, slot, tt, camv, oy, ox):
+            if fused_dma:
+                dma_fused(bslot, slot, tt, camv, oy, ox).start()
+            else:
+                for b in range(B):
+                    dma_per_b(bslot, slot, b, tt, camv, oy, ox).start()
+
+        def wait_slot(bslot, slot, tt, camv, oy, ox):
+            if fused_dma:
+                dma_fused(bslot, slot, tt, camv, oy, ox).wait()
+            else:
+                for b in range(B):
+                    dma_per_b(bslot, slot, b, tt, camv, oy, ox).wait()
+
         def start_tile(tt, bslot):
             ca, cb = cams(tt)
-            for b in range(B):
-                dma(bslot, 0, b, tt, ca, org(tt, 0), org(tt, 1)).start()
+            start_slot(bslot, 0, tt, ca, org(tt, 0), org(tt, 1))
 
             @pl.when(cb != ca)
             def _():
-                for b in range(B):
-                    dma(bslot, 1, b, tt, cb, org(tt, 2), org(tt, 3)).start()
+                start_slot(bslot, 1, tt, cb, org(tt, 2), org(tt, 3))
 
         @pl.when(t == 0)
         def _():
@@ -649,14 +676,12 @@ def _make_kernel_tile_batched(win_h: int, B: int):
 
         gc = gcs_ref[0, g, :][None, :]
         sel = gcs_ref[0, GROUP + g, :][None, :]
-        for b in range(B):
-            dma(buf, 0, b, t, cam_a, org(t, 0), org(t, 1)).wait()
+        wait_slot(buf, 0, t, cam_a, org(t, 0), org(t, 1))
         acc = [v * sel for v in slot_val(0)]
 
         @pl.when(two)
         def _():
-            for b in range(B):
-                dma(buf, 1, b, t, cam_b, org(t, 2), org(t, 3)).wait()
+            wait_slot(buf, 1, t, cam_b, org(t, 2), org(t, 3))
 
         res = jax.lax.cond(
             two,
@@ -670,10 +695,13 @@ def _make_kernel_tile_batched(win_h: int, B: int):
 
 
 def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
-                        B: int, out_init=None, interpret: bool = False):
-    """Per-tile batched _class_call: planar_sh_b is [B, N_SHIFTS, N, 3, H, W]
-    int8; output [3, Tg_total*GROUP, B, P] f32 (tile-major, B as the sublane
-    dim so each block write is a full (B, P) tile)."""
+                        B: int, out_init=None, interpret: bool = False,
+                        fused_dma: bool = True):
+    """Per-tile batched _class_call: planar_sh_b is [N_SHIFTS, N, B, 3, H, W]
+    int8 when fused_dma (one window copy per tile slot spans all B frames),
+    [B, N_SHIFTS, N, 3, H, W] otherwise; output [3, Tg_total*GROUP, B, P]
+    f32 (tile-major, B as the sublane dim so each block write is a full
+    (B, P) tile)."""
     TgC = cl.vx.shape[0]
     T_alloc = Tg_total * GROUP
 
@@ -700,10 +728,11 @@ def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 2, B, 3, win_h, VXW), jnp.int8),
-            pltpu.SemaphoreType.DMA((2, 2, B)),
+            (pltpu.SemaphoreType.DMA((2, 2)) if fused_dma
+             else pltpu.SemaphoreType.DMA((2, 2, B))),
         ],
     )
-    kernel = _make_kernel_tile_batched(win_h, B)
+    kernel = _make_kernel_tile_batched(win_h, B, fused_dma)
     out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), jnp.float32)
     if out_init is not None:
         def wrapped(gid_ref, cam_ref, org_ref, band_ref,
@@ -739,38 +768,56 @@ MB_CHUNK = 8    # frames stacked per kernel pass (VMEM-bounded: the hard-
                 # class window scratch is 2*2*B*3*80*256 int8 = 6.3 MB at 8)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@jax.jit
+def shift_planar_bn(planar_b_i8: jnp.ndarray) -> jnp.ndarray:
+    """[B,N,3,H,W] int8 -> [K,N,B,3,H,W]: batch INSIDE camera so one strided
+    window copy per tile slot reaches every frame of the micro-batch. The
+    transpose fuses into the pad+stack write (one pass over the bytes)."""
+    tb = planar_b_i8.transpose(1, 0, 2, 3, 4)   # [N, B, 3, H, W]
+
+    def sh(k):
+        if k == 0:
+            return tb
+        return jnp.pad(tb[..., k * BAND_STEP:],
+                       ((0, 0),) * 4 + ((0, k * BAND_STEP),))
+    return jnp.stack([sh(k) for k in range(N_SHIFTS)])
+
+
+@partial(jax.jit, static_argnames=("interpret", "fused_dma"))
 def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  fused_dma: bool = True) -> jnp.ndarray:
     """Micro-batched mat2 composite: [B, N, 3, H, W] int8 (value-128) ->
     [B, 3, Hp, Wp] uint8, bit-identical per frame to composite_mat2_planar.
 
     The serving-shape hot loop: B frames are stacked into the matmul M
     dimension (see _make_kernel_tile_batched), which both runs the MXU at
     ~3-5x the single-frame efficiency and amortizes the weight-stream HBM
-    traffic B-fold. B is chunked to MB_CHUNK per kernel pass."""
+    traffic B-fold; fused_dma batches each tile slot's B window copies into
+    one descriptor. B is chunked to MB_CHUNK per kernel pass."""
     B = planar_b_i8.shape[0]
     if B > MB_CHUNK:
         pad = (-B) % MB_CHUNK
         pb = jnp.pad(planar_b_i8, ((0, pad),) + ((0, 0),) * 4)
         chunks = pb.reshape((B + pad) // MB_CHUNK, MB_CHUNK, *pb.shape[1:])
         out = jax.lax.map(
-            lambda ch: composite_mat2_planar_batched(ch, ml,
-                                                     interpret=interpret),
+            lambda ch: composite_mat2_planar_batched(
+                ch, ml, interpret=interpret, fused_dma=fused_dma),
             chunks)
         return out.reshape(B + pad, *out.shape[2:])[:B]
 
     Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
-    frames_sh = jax.vmap(shift_planar)(planar_b_i8)
+    frames_sh = (shift_planar_bn(planar_b_i8) if fused_dma
+                 else jax.vmap(shift_planar)(planar_b_i8))
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
-                                  None, interpret)
+                                  None, interpret, fused_dma)
         if ml.tg_easy > 0:
             out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
-                                      out, interpret)
+                                      out, interpret, fused_dma)
     else:
         out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
-                                  None, interpret)
+                                  None, interpret, fused_dma)
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw

@@ -148,10 +148,14 @@ def test_mat2_batched_matches_per_frame(rng):
     batch = np.stack([np.asarray(frames), np.asarray(frames)[:, ::-1],
                       np.roll(np.asarray(frames), 7, axis=2)])
     planar_b = jnp.stack([frames_to_planar_i8(jnp.asarray(b)) for b in batch])
-    got = np.asarray(composite_mat2_planar_batched(planar_b, ml,
-                                                   interpret=True))
-    assert got.shape[0] == B
-    for b in range(B):
-        ref = np.asarray(composite_mat2_planar(planar_b[b], ml,
-                                               interpret=True))
-        np.testing.assert_array_equal(got[b], ref)
+    refs = [np.asarray(composite_mat2_planar(planar_b[b], ml,
+                                             interpret=True))
+            for b in range(B)]
+    # both DMA layouts: fused (one [B,3,wh,VXW] copy per tile slot) and
+    # per-frame — the kernel math is shared, the window plumbing is not
+    for fused in (True, False):
+        got = np.asarray(composite_mat2_planar_batched(
+            planar_b, ml, interpret=True, fused_dma=fused))
+        assert got.shape[0] == B
+        for b in range(B):
+            np.testing.assert_array_equal(got[b], refs[b], err_msg=str(fused))
