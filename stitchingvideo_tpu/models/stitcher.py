@@ -210,6 +210,7 @@ class Stitcher:
         self._last_result: Optional[RegistrationResult] = None
         self._last_work_scale: float = 1.0
         self._shape_memo: dict = {}
+        self._shapes_frozen: bool = False
 
     def _sticky(self, name: str, value: int) -> int:
         """Session-sticky shape: never shrinks. Re-registrations whose ROIs
@@ -217,9 +218,21 @@ class Stitcher:
         shapes of the big compiled programs back and forth — each flip costs
         a trace+lower (+compile) on every 30 s cycle. Growing monotonically
         freezes the statics after the largest size has been seen once."""
+        if self._shapes_frozen and name in self._shape_memo:
+            return self._shape_memo[name]
         v = max(int(value), self._shape_memo.get(name, 0))
         self._shape_memo[name] = v
         return v
+
+    def freeze_shapes(self) -> None:
+        """Freeze every sticky shape at its current value: later
+        registrations reuse the first successful registration's canvas/ROI
+        statics even if their true extents drift past a bucket boundary, so
+        NO compiled program ever changes shape mid-stream (the reference's
+        model stabilization keeps the first registration's panorama geometry
+        the same way — 64-bit driver :447-532 `imgMatready` guard). Content
+        drifting beyond a frozen extent is clipped at the canvas edge."""
+        self._shapes_frozen = True
 
     # accessor parity with cv::Stitcher (stitcher.hpp:58-174)
     def cameras(self) -> Optional[Cameras]:
@@ -364,7 +377,8 @@ class Stitcher:
                                255).astype(jnp.uint8)
             seam_canvas = graphcut_seams_banded(
                 imgs_u8, canvas_masks,
-                "color" if sf == "gc_color" else "colorgrad")
+                "color" if sf == "gc_color" else "colorgrad",
+                sticky=self._shape_memo.setdefault("seam_band", {}))
         elif sf in ("dp_color", "dp_colorgrad"):
             imgs_np = np.asarray(jnp.clip(jnp.round(canvas_imgs), 0, 255)
                                  .astype(jnp.uint8)).astype(np.float32)

@@ -163,7 +163,34 @@ def _class_counts_used(tlut: TiledLUT):
             used.sum().astype(jnp.int32), tlut.n_fallback)
 
 
-def _materialize2(tlut: TiledLUT, frame_hw=None) -> MatLUT2:
+def _sticky_classes(n_easy: int, n_fb: int, bucket: int,
+                    sticky: dict | None):
+    """Class-count buckets with re-registration hysteresis. tg_easy buckets
+    DOWN (a smaller value is always correct: the remainder runs as hard
+    groups), n_fb buckets UP (pad entries are inert). With `sticky`, a prior
+    bucket is reused whenever it is still VALID, and a forced change leaves
+    one extra bucket of slack — so 30 s re-registrations whose class counts
+    jitter across a bucket boundary stop recompiling the weight-build
+    program (measured 3.0 s per flip on the TPU relay)."""
+    tg_easy = (n_easy // bucket) * bucket
+    n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    if sticky is not None:
+        prev = sticky.get("tg_easy")
+        if prev is not None and prev <= n_easy:
+            tg_easy = prev
+        else:
+            tg_easy = max(0, ((n_easy - bucket) // bucket) * bucket)
+        sticky["tg_easy"] = tg_easy
+        prevf = sticky.get("n_fb")
+        if prevf is not None and prevf >= n_fb:
+            n_fb_b = prevf
+        elif n_fb:
+            n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET + FB_BUCKET
+        sticky["n_fb"] = n_fb_b
+    return tg_easy, n_fb_b
+
+
+def _materialize2(tlut: TiledLUT, frame_hw=None, sticky=None) -> MatLUT2:
     """Two-class build, fully device-resident.
 
     Host involvement is two scalar fetches (class counts) that pick the
@@ -173,8 +200,7 @@ def _materialize2(tlut: TiledLUT, frame_hw=None) -> MatLUT2:
     """
     del frame_hw  # kept for call-site compatibility; tlut.frame_hw is static
     n_easy, n_fb = (int(x) for x in _class_counts(tlut))
-    tg_easy = (n_easy // BUCKET) * BUCKET   # bucket DOWN: remainder runs hard
-    n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    tg_easy, n_fb_b = _sticky_classes(n_easy, n_fb, BUCKET, sticky)
     return _materialize2_jit(tlut, tg_easy, n_fb_b)
 
 
@@ -189,7 +215,8 @@ def _materialize2_jit(tlut: TiledLUT, tg_easy: int, n_fb: int) -> MatLUT2:
                          n_fb, scratch=False)
 
 
-def materialize2_used(tlut: TiledLUT, bucket: int = BUCKET) -> MatLUT2:
+def materialize2_used(tlut: TiledLUT, bucket: int = BUCKET,
+                      sticky=None) -> MatLUT2:
     """Used-groups-only two-class build: groups with zero covered pixels are
     dropped from the kernel grid entirely (their output blocks stay whatever
     the caller initialized them to — composite_mat2_planar_pieces zero-fills).
@@ -199,11 +226,17 @@ def materialize2_used(tlut: TiledLUT, bucket: int = BUCKET) -> MatLUT2:
     LUTs; tests use a small bucket so compaction is visible on tiny grids)."""
     Tg = -(-tlut.sx.shape[0] // GROUP)
     n_easy_u, n_used, n_fb = (int(x) for x in _class_counts_used(tlut))
-    tg_easy = (n_easy_u // bucket) * bucket   # bucket DOWN: remainder = hard
+    tg_easy, n_fb_b = _sticky_classes(n_easy_u, n_fb, bucket, sticky)
     # bucket UP (pads write the scratch block), clamped so padding never
     # exceeds the real group count on tiny grids
     tg_hard = min(-(-max(n_used - tg_easy, 0) // bucket) * bucket, Tg)
-    n_fb_b = -(-n_fb // FB_BUCKET) * FB_BUCKET if n_fb else 0
+    if sticky is not None:
+        prevh = sticky.get("tg_hard")
+        if prevh is not None and Tg >= prevh >= tg_hard:
+            tg_hard = prevh
+        elif tg_hard < Tg:
+            tg_hard = min(tg_hard + bucket, Tg)   # slack for the next jitter
+        sticky["tg_hard"] = tg_hard
     return _materialize2_used_jit(tlut, jnp.int32(n_used), tg_easy, tg_hard,
                                   n_fb_b)
 

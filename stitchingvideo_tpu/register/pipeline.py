@@ -67,21 +67,39 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
     det = "harris" if fc.kind in ("harris_brief", "grad") else "fast"
     desc_kind = "grad" if fc.kind == "grad" else "brief"
     if len(shapes) == 1 and len(images) > 1 and fc.num_levels == 1:
-        batch = jnp.asarray(np.stack(images))
-        gray = color.rgb_to_gray(batch) if batch.ndim == 4 else batch.astype(jnp.float32)
+        stack = np.stack(images)
+        if stack.ndim == 4 and stack.dtype == np.uint8:
+            # gray conversion on HOST, uploaded as u8 — 3x fewer uplink
+            # bytes than RGB (the upload was the largest find_features cost
+            # on the remote TPU relay: 10.8 MB -> 3.6 MB)
+            a = stack.astype(np.float32)
+            gray_np = np.clip(np.round(
+                a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114),
+                0, 255).astype(np.uint8)
+            batch = jnp.asarray(gray_np)
+        else:
+            dev = jnp.asarray(stack)
+            batch = color.rgb_to_gray(dev) if dev.ndim == 4 \
+                else dev.astype(jnp.float32)
         f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det,
                               desc_kind)(
-            gray, fc.fast_threshold if det == "fast" else 1.0)
-        # ONE host fetch of the batched outputs; per-camera views are numpy
-        # slices. Handing out lazy device slices (v[i]) instead made every
-        # downstream restack a chain of tiny eager programs whose in-flight
-        # dependency resolution through the TPU relay intermittently stalled
-        # the next big program's load for minutes (measured 5 s vs 200+ s
-        # bimodal cold matching). Features are a few hundred KB — the
-        # round-trip is microseconds and also syncs the detect dispatch.
-        f_np = {k: np.asarray(v) for k, v in f.items()}
-        wh = (int(gray.shape[2]), int(gray.shape[1]))
-        return [{**{k: v[i] for k, v in f_np.items()}, "img_wh": wh}
+            batch, fc.fast_threshold if det == "fast" else 1.0)
+        # ONE host fetch of the packed small outputs (xy/valid/response/
+        # angle, ~100 KB in a single array = a single relay round trip);
+        # per-camera views are numpy slices. Handing out lazy device slices
+        # (v[i]) instead made every downstream restack a chain of tiny eager
+        # programs whose in-flight dependency resolution through the TPU
+        # relay intermittently stalled the next big program's load for
+        # minutes (measured 5 s vs 200+ s bimodal cold matching). The
+        # DESCRIPTORS (1.5 MB, ~0.15 s over the relay) stay on device as ONE
+        # intact batched array — match_all_pairs consumes them directly, so
+        # they never round-trip (round-4 warm-path cut).
+        sm = np.asarray(f["small"])
+        dev_batch = {"desc": f["desc"], "valid": f["valid"], "xy": f["xy"]}
+        wh = (int(batch.shape[2]), int(batch.shape[1]))
+        return [{"xy": sm[i, :, 0:2], "valid": sm[i, :, 2] > 0.5,
+                 "response": sm[i, :, 3], "angle": sm[i, :, 4],
+                 "img_wh": wh, "_dev": (dev_batch, i)}
                 for i in range(len(images))]
     out = []
     for img in images:
@@ -110,12 +128,21 @@ import functools
 def _batched_detector(max_kp, border, grid, detector="fast",
                       desc_kind="brief"):
     """Cached jitted vmapped detector (a fresh jit wrapper per call would
-    retrace + recompile on every re-registration)."""
+    retrace + recompile on every re-registration). Accepts u8 or f32 gray;
+    besides the raw outputs it returns a packed [N,K,5] 'small' array
+    (xy, valid, response, angle) so the host needs only ONE fetch."""
     @jax.jit
     def run(gray, threshold):
-        return jax.vmap(lambda g: feat_ops.detect_and_describe(
-            g, threshold=threshold, max_kp=max_kp, border=border,
-            grid=grid, detector=detector, desc_kind=desc_kind))(gray)
+        f = jax.vmap(lambda g: feat_ops.detect_and_describe(
+            g.astype(jnp.float32), threshold=threshold, max_kp=max_kp,
+            border=border, grid=grid, detector=detector,
+            desc_kind=desc_kind))(gray)
+        f["small"] = jnp.concatenate(
+            [f["xy"].astype(jnp.float32),
+             f["valid"][..., None].astype(jnp.float32),
+             f["response"][..., None].astype(jnp.float32),
+             f["angle"][..., None].astype(jnp.float32)], axis=-1)
+        return f
     return run
 
 
@@ -138,8 +165,18 @@ def _match_pairs_device(key, desc, dvalid, xy, centers, pi, pj,
         r = ransac_homography(k, p1, p2, valid,
                               thresh=ransac_thresh, iters=ransac_iters)
         nm = valid.sum().astype(jnp.int32)
-        return (p1, p2, valid, nm, r["H"], r["inliers"], r["num_inliers"],
-                r["ok"])
+        # pack into TWO arrays so the host needs two fetches, not eight
+        # (each fetch is a full relay round trip): points [M,6] and a
+        # 13-float scalar row (H flat, nm, ni, ok)
+        pts = jnp.concatenate(
+            [p1, p2, valid[:, None].astype(jnp.float32),
+             r["inliers"][:, None].astype(jnp.float32)], axis=-1)
+        scal = jnp.concatenate(
+            [r["H"].reshape(9).astype(jnp.float32),
+             jnp.stack([nm.astype(jnp.float32),
+                        r["num_inliers"].astype(jnp.float32),
+                        r["ok"].astype(jnp.float32)])])
+        return pts, scal
 
     keys = jax.random.split(key, pi.shape[0])
     return jax.vmap(one_pair)(keys, pi, pj)
@@ -151,28 +188,45 @@ def match_all_pairs(features: List[dict], cfg: StitchConfig,
     mc = cfg.match
     n = len(features)
     pairs_idx = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    same_shape = len({f["desc"].shape for f in features}) == 1
+    dev0 = features[0].get("_dev") if features else None
+    shared_dev = (dev0 is not None and
+                  all(f.get("_dev") is not None
+                      and f["_dev"][0] is dev0[0] and f["_dev"][1] == i
+                      for i, f in enumerate(features)))
+    same_shape = shared_dev or (
+        all("desc" in f for f in features)
+        and len({f["desc"].shape for f in features}) == 1)
 
     results: List[PairResult] = []
     if same_shape and pairs_idx:
-        # features are host numpy (compute_features fetches once); stack on
-        # host and upload each stack as ONE transfer — no eager device ops
-        # between the detect program and the match program
-        desc = jnp.asarray(np.stack([f["desc"] for f in features]))
-        dvalid = jnp.asarray(np.stack([f["valid"] for f in features]))
-        xy = jnp.asarray(np.stack([f["xy"] for f in features]))
+        if shared_dev:
+            # the batched detector outputs are still on device — feed them
+            # straight into the match program (no desc round-trip)
+            desc, dvalid, xy = (dev0[0]["desc"], dev0[0]["valid"],
+                                dev0[0]["xy"])
+        else:
+            # features are host numpy; stack on host and upload each stack
+            # as ONE transfer — no eager device ops between the detect
+            # program and the match program
+            desc = jnp.asarray(np.stack([f["desc"] for f in features]))
+            dvalid = jnp.asarray(np.stack([f["valid"] for f in features]))
+            xy = jnp.asarray(np.stack([f["xy"] for f in features]))
         centers = jnp.asarray([[f["img_wh"][0] * 0.5, f["img_wh"][1] * 0.5]
                                for f in features], jnp.float32)
         pi = jnp.asarray([p[0] for p in pairs_idx], jnp.int32)
         pj = jnp.asarray([p[1] for p in pairs_idx], jnp.int32)
-        out = _match_pairs_device(
+        pts_d, scal_d = _match_pairs_device(
             jax.random.PRNGKey(seed), desc, dvalid, xy, centers, pi, pj,
             mc.match_conf, mc.max_matches, mc.ransac_thresh, mc.ransac_iters)
-        p1s, p2s, valids, nms, Hs, inls, nis, oks = map(np.asarray, out)
+        pts = np.asarray(pts_d)           # [P, M, 6]
+        scal = np.asarray(scal_d)         # [P, 13]
+        p1s, p2s = pts[..., 0:2], pts[..., 2:4]
+        inls = pts[..., 5]
+        Hs = scal[:, :9].reshape(-1, 3, 3)
         for p_idx, (i, j) in enumerate(pairs_idx):
-            nm = int(nms[p_idx])
-            ni = int(nis[p_idx])
-            ok = bool(oks[p_idx]) and nm >= mc.min_matches_for_h
+            nm = int(round(float(scal[p_idx, 9])))
+            ni = int(round(float(scal[p_idx, 10])))
+            ok = scal[p_idx, 11] > 0.5 and nm >= mc.min_matches_for_h
             conf = ni / (8.0 + 0.3 * nm) if ok else 0.0
             if conf > mc.near_dup_confidence:
                 conf = 0.0                # near-duplicate guard (:627)
@@ -184,11 +238,17 @@ def match_all_pairs(features: List[dict], cfg: StitchConfig,
         return results
 
     # fallback: per-pair path (mixed image sizes)
+    def _desc(f):
+        if "desc" in f:
+            return f["desc"]
+        bd, k = f["_dev"]           # batched-path dict mixed into this path
+        return bd["desc"][k]
+
     key = jax.random.PRNGKey(seed)
     for i, j in pairs_idx:
         fi, fj = features[i], features[j]
         src, dst, _dist, valid = match_pair(
-            fi["desc"], fi["valid"], fj["desc"], fj["valid"],
+            _desc(fi), fi["valid"], _desc(fj), fj["valid"],
             match_conf=mc.match_conf, max_matches=mc.max_matches)
         wi, hi = fi["img_wh"]
         wj, hj = fj["img_wh"]

@@ -15,7 +15,7 @@ device.
 from __future__ import annotations
 
 import ctypes
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -110,64 +110,158 @@ def _bucket(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
-def _overlap_meta_jit():
-    import jax
+_NSEG = 4           # max circular overlap segments recognized per pair
+_MIN_GAP = 64       # empty-column run that splits an overlap into segments
 
+
+def _meta_and_packed_masks():
+    """ONE device program: per-pair overlap extents (wrap-aware circular x
+    runs — a 360° rig's wrap pair straddles the canvas x edges, and a plain
+    bbox inflates to the full canvas width; a stray second overlap blob far
+    from the main one likewise inflates a single-arc bound, so the top-_NSEG
+    circular gaps are reported and the host splits the overlap into one band
+    per run) + the full mask canvas packed 8 pixels/byte for a cheap host
+    fetch (8x fewer relay bytes)."""
+    import jax
+    import jax.numpy as jnp
     from functools import partial
 
     @partial(jax.jit, static_argnames=("pairs",))
-    def meta(masks, pairs):
-        import jax.numpy as jnp
-        H, W = masks.shape[1:]
+    def run(masks, pairs):
+        N, H, W = masks.shape
         ii = jnp.asarray([p[0] for p in pairs])
         jj = jnp.asarray([p[1] for p in pairs])
-        ov = masks[ii] & masks[jj]
+        ov = masks[ii] & masks[jj]                    # [P,H,W]
         ys = ov.any(axis=2)
-        xs = ov.any(axis=1)
         yi = jnp.arange(H)[None]
+        ymin = jnp.min(jnp.where(ys, yi, H), axis=1)
+        ymax = jnp.max(jnp.where(ys, yi, -1), axis=1)
+        # circular empty-run lengths: gap[c] (occupied c only) = number of
+        # empty columns in the run ending at c-1, wrapping at W.
+        occ = ov.any(axis=1)                          # [P,W]
         xi = jnp.arange(W)[None]
-        return jnp.stack([
-            ov.any(axis=(1, 2)).astype(jnp.int32),
-            jnp.min(jnp.where(ys, yi, H), axis=1),
-            jnp.max(jnp.where(ys, yi, -1), axis=1),
-            jnp.min(jnp.where(xs, xi, W), axis=1),
-            jnp.max(jnp.where(xs, xi, -1), axis=1)], axis=1)
+        occd = jnp.where(occ, xi, -1)
+        p = jax.lax.cummax(occd, axis=1)              # last occupied <= c
+        last = p[:, -1:]
+        p_before = jnp.concatenate(
+            [jnp.full((p.shape[0], 1), -1, p.dtype), p[:, :-1]], axis=1)
+        gap = jnp.where(p_before >= 0, xi - p_before - 1,
+                        xi + (W - 1 - last))          # empty run ending at c-1
+        gap = jnp.where(occ, gap, -1)
+        gv, gi = jax.lax.top_k(gap, _NSEG)            # [P,_NSEG] desc
+        meta = jnp.concatenate(
+            [jnp.stack([ov.any(axis=(1, 2)).astype(jnp.int32),
+                        ymin.astype(jnp.int32), ymax.astype(jnp.int32)],
+                       axis=1),
+             gv.astype(jnp.int32), gi.astype(jnp.int32)], axis=1)
+        wts = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        packed = (masks.reshape(N, H, W // 8, 8).astype(jnp.uint8)
+                  * wts).sum(axis=-1).astype(jnp.uint8)
+        return meta, packed
 
-    return meta
+    return run
 
 
-def _crop_bands_jit():
+def _pair_segments(meta_row, W: int):
+    """Circular occupied-column runs for one pair from its meta row
+    ([live, ymin, ymax, gap_val*_NSEG, gap_pos*_NSEG]) as (xstart, width)
+    tuples, in ascending-x order. Runs separated by an empty stretch
+    >= _MIN_GAP become separate bands (independent BK cuts — the stretch
+    between them carries no overlap, so the grid graph decomposes there,
+    mirroring the reference DpSeamFinder's per-component seams)."""
+    gv = meta_row[3:3 + _NSEG]
+    gi = meta_row[3 + _NSEG:3 + 2 * _NSEG]
+    big = int(gv[0])
+    if big <= 0:                       # overlap occupies every column
+        return [(0, W)]
+    chosen = [(int(gi[s]), int(gv[s])) for s in range(_NSEG)
+              if gv[s] >= _MIN_GAP]
+    if not chosen:                     # keep at least the largest gap
+        chosen = [(int(gi[0]), int(gv[0]))]
+    chosen.sort()
+    segs = []
+    for t, (pos, _val) in enumerate(chosen):
+        npos, nval = chosen[(t + 1) % len(chosen)]
+        width = (npos - nval - pos) % W
+        if len(chosen) == 1:
+            width = W - _val       # arc = complement of the single gap
+        if width > 0:
+            segs.append((pos, width))
+    segs.sort()
+    return segs
+
+
+def _crop_bands_wrapped():
+    """Batched u8 band crop with wrap-around columns (cols mod W)."""
     import jax
-
+    import jax.numpy as jnp
     from functools import partial
 
     @partial(jax.jit, static_argnames=("bh", "bw"))
-    def crop_bands(canvas_imgs, idx, org, bh, bw):
-        def crop(pair_idx, o):
-            return jax.vmap(lambda c: jax.lax.dynamic_slice(
-                canvas_imgs[c], (o[0], o[1], 0), (bh, bw, 3)))(pair_idx)
-        return jax.vmap(crop)(idx, org)
+    def crop(canvas_imgs, idx, org, bh, bw):
+        W = canvas_imgs.shape[2]
 
-    return crop_bands
+        def one(pair_idx, o):
+            rows = o[0] + jnp.arange(bh)
+            cols = (o[1] + jnp.arange(bw)) % W
+
+            def cam(c):
+                img = jnp.take(canvas_imgs, c, axis=0)
+                return jnp.take(jnp.take(img, rows, axis=0), cols, axis=1)
+            return jax.vmap(cam)(pair_idx)
+        return jax.vmap(one)(idx, org)
+
+    return crop
+
+
+def _scatter_bands():
+    """Write the final host-cut band masks back into the device mask canvas
+    (wrapped columns), so the seam canvas never round-trips in full."""
+    import jax.numpy as jnp
+    from functools import partial
+    import jax
+
+    @partial(jax.jit, static_argnames=("bh", "bw"))
+    def scatter(masks, band, idx, org, bh, bw):
+        W = masks.shape[2]
+        P = band.shape[0]
+        for pt in range(P):          # unrolled; P is a small padded bucket
+            rows = org[pt, 0] + jnp.arange(bh)
+            cols = (org[pt, 1] + jnp.arange(bw)) % W
+            for s in (0, 1):
+                masks = masks.at[idx[pt, s], rows[:, None],
+                                 cols[None, :]].set(band[pt, s])
+        return masks
+
+    return scatter
 
 
 _OVERLAP_META = None
 _CROP_BANDS = None
+_SCATTER = None
 _L_BUCKET = 4       # live-pair-count bucket (stable jit signatures)
 _B_BUCKET = 64      # band-shape bucket
 
 
 def graphcut_seams_banded(canvas_imgs, canvas_masks,
-                          cost_type: str = "color") -> np.ndarray:
-    """Device-aware variant: canvas_imgs/canvas_masks are jax device arrays.
+                          cost_type: str = "color",
+                          sticky: Optional[dict] = None):
+    """Device-aware variant: canvas_imgs/canvas_masks are jax device arrays;
+    returns the resolved seam masks as a DEVICE array.
 
-    Only the pairwise-overlap BANDS of the image canvas are fetched to host
-    (one batched transfer) — the full 6-camera seam canvas is ~45 MB over the
-    remote TPU relay, while the overlap bands are a few MB. Band shape and
-    pair count are bucketed so re-registrations reuse the compiled crop
-    program. The sequential BK cuts (reference pair order,
-    seam_finders.cpp:1122-1135) run on the host masks exactly as
-    `graphcut_seams` does, so results are identical GIVEN IDENTICAL INPUTS.
+    Relay traffic per call (the warm re-registration budget, VERDICT r3
+    item 1): one fused dispatch fetching pair extents + the bit-packed mask
+    canvas (~0.9 MB for 6 cams), one u8 band crop fetch sized by the
+    wrap-aware circular overlap extents (~1-2 MB instead of the ~24 MB a
+    plain bbox fetches when the 360° wrap pair spans the canvas), and one
+    async scatter upload writing the cut bands back — the full image/mask
+    canvases never cross the relay. Band shape and pair count are bucketed
+    (optionally sticky across re-registrations via `sticky`) so the three
+    programs compile once per rig. The sequential BK cuts (reference pair
+    order, seam_finders.cpp:1122-1135) run on the host masks exactly as
+    `graphcut_seams` does, so results are identical GIVEN IDENTICAL INPUTS
+    (for the wrap pair the circular band adds the physically-correct
+    cylindrical adjacency the plane-canvas reference lacks).
     Note the product stitcher feeds this path u8-quantized canvases (4x
     smaller relay fetch) while the legacy float path saw float32 values —
     seam placement can differ by rounding between the two entry points; the
@@ -175,43 +269,68 @@ def graphcut_seams_banded(canvas_imgs, canvas_masks,
     """
     import jax.numpy as jnp
 
-    global _OVERLAP_META, _CROP_BANDS
+    global _OVERLAP_META, _CROP_BANDS, _SCATTER
     if _OVERLAP_META is None:
-        _OVERLAP_META = _overlap_meta_jit()
-        _CROP_BANDS = _crop_bands_jit()
+        _OVERLAP_META = _meta_and_packed_masks()
+        _CROP_BANDS = _crop_bands_wrapped()
+        _SCATTER = _scatter_bands()
 
+    canvas_masks = jnp.asarray(canvas_masks)
     N, H, W = canvas_masks.shape
     ii, jj = np.triu_indices(N, 1)
     pairs = tuple((int(a), int(b)) for a, b in zip(ii, jj))
-    meta = np.asarray(_OVERLAP_META(canvas_masks, pairs))
-    masks = np.asarray(canvas_masks).astype(bool).copy()
+    meta_dev, packed_dev = _OVERLAP_META(canvas_masks, pairs)
+    meta = np.asarray(meta_dev)
     live = [k for k in range(len(pairs)) if meta[k, 0]]
     if not live:
-        return masks
+        return canvas_masks
+    masks = np.unpackbits(np.asarray(packed_dev), axis=2).astype(bool)
+
+    # one band entry per circular overlap SEGMENT (pair order, then x order)
+    entries = []     # (cam_i, cam_j, ymin, xstart, width)
+    for k in live:
+        for xs, wd in _pair_segments(meta[k], W):
+            entries.append((int(ii[k]), int(jj[k]),
+                            int(meta[k, 1]), xs, wd))
 
     bh = min(H, _bucket(max(int(meta[k, 2] - meta[k, 1]) + 1 for k in live)
                         + 2 * GAP, _B_BUCKET))
-    bw = min(W, _bucket(max(int(meta[k, 4] - meta[k, 3]) + 1 for k in live)
-                        + 2 * GAP, _B_BUCKET))
-    origins = [(int(np.clip(meta[k, 1] - GAP, 0, H - bh)),
-                int(np.clip(meta[k, 3] - GAP, 0, W - bw)))
-               for k in live]
-    # one batched fetch of the image bands for every live pair; the pair
+    bw = min(W, _bucket(max(e[4] for e in entries) + 2 * GAP, _B_BUCKET))
+    if sticky is not None:
+        bh = min(H, max(bh, sticky.get("bh", 0)))
+        bw = min(W, max(bw, sticky.get("bw", 0)))
+        sticky["bh"], sticky["bw"] = bh, bw
+    origins = [(int(np.clip(e[2] - GAP, 0, H - bh)),
+                0 if bw >= W else int((e[3] - GAP) % W))
+               for e in entries]
+    # one batched fetch of the image bands for every segment; the entry
     # list is padded to a bucket so the crop program signature is stable
-    Lp = _bucket(len(live), _L_BUCKET)
-    idx_np = np.array([[ii[k], jj[k]] for k in live]
-                      + [[ii[live[0]], jj[live[0]]]] * (Lp - len(live)))
-    org_np = np.array(origins + [origins[0]] * (Lp - len(live)))
-    bands = np.asarray(_CROP_BANDS(canvas_imgs, jnp.asarray(idx_np),
-                                   jnp.asarray(org_np), bh, bw),
-                       dtype=np.float32)
+    Lp = _bucket(len(entries), _L_BUCKET)
+    npad = Lp - len(entries)
+    idx_np = np.array([[e[0], e[1]] for e in entries]
+                      + [[entries[0][0], entries[0][1]]] * npad)
+    org_np = np.array(origins + [origins[0]] * npad)
+    idx_dev = jnp.asarray(idx_np)
+    org_dev = jnp.asarray(org_np)
+    bands = np.asarray(_CROP_BANDS(canvas_imgs, idx_dev, org_dev, bh, bw))
 
-    for t, k in enumerate(live):
-        oy, ox = origins[t]
-        i, j = int(ii[k]), int(jj[k])
-        sl = (slice(oy, oy + bh), slice(ox, ox + bw))
-        m1, m2 = _pair_cut(bands[t, 0], bands[t, 1],
+    row_ix = [np.arange(oy, oy + bh) for oy, _ in origins]
+    col_ix = [(np.arange(ox, ox + bw) % W) for _, ox in origins]
+    for t, (i, j, _ym, _xs, _wd) in enumerate(entries):
+        sl = np.ix_(row_ix[t], col_ix[t])
+        m1, m2 = _pair_cut(bands[t, 0].astype(np.float32),
+                           bands[t, 1].astype(np.float32),
                            masks[i][sl], masks[j][sl], cost_type)
         masks[i][sl] = m1
         masks[j][sl] = m2
-    return masks
+
+    # final band states (order-independent: every cut-modified pixel lies in
+    # some band, and these slices read the FINAL host masks)
+    def _final_band(t):
+        u = t if t < len(entries) else 0  # padding entries duplicate entry 0
+        sl = np.ix_(row_ix[u], col_ix[u])
+        return np.stack([masks[idx_np[t, 0]][sl], masks[idx_np[t, 1]][sl]])
+
+    out_bands = np.stack([_final_band(t) for t in range(Lp)])
+    return _SCATTER(canvas_masks, jnp.asarray(out_bands), idx_dev, org_dev,
+                    bh, bw)

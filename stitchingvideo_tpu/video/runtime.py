@@ -108,6 +108,7 @@ class VideoStitcher:
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
         self._und_maps = None              # (xmap, ymap) full-res undistort
+        self._kernel_memo: dict = {}       # sticky class-count buckets
         self._reg_thread: Optional[threading.Thread] = None
         self._reg_requested = threading.Event()
         self._stop = threading.Event()
@@ -153,6 +154,12 @@ class VideoStitcher:
                                                         reg.extent_wh))
             _msync(lut.cam_idx)
         self.install_lut(lut, frame_hw, reg=reg)
+        # first successful registration defines the panorama geometry for
+        # the life of the stream (reference model stabilization, :447-532):
+        # freezing the sticky shapes guarantees re-registrations never flip
+        # a compiled program's static shape (measured 3.7 s lut_build
+        # recompile when a re-registration grew pano_w one bucket)
+        self.stitcher.freeze_shapes()
         # first registration loaded every executable — warm re-registration
         # is faster free-running (see timing.set_sync_spans)
         from ..utils.timing import set_sync_spans
@@ -317,7 +324,9 @@ class VideoStitcher:
                         shard_mat2_lut, sharded_composite_mat2_fn)
                     lut_p = pad_lut_rows_for_shards(lut, ndev)
                     tlut = build_tiled_lut(lut_p, tuple(frame_hw))
-                    ml2 = _materialize2(tlut, tuple(frame_hw))
+                    ml2 = _materialize2(
+                        tlut, tuple(frame_hw),
+                        sticky=self._kernel_memo.setdefault("mat2s", {}))
                     sm = shard_mat2_lut(ml2, mesh)
                     fn = sharded_composite_mat2_fn(mesh, sm, interpret=interp)
                     return ("mat2_sharded", (sm, fn, Hp))
@@ -356,8 +365,9 @@ class VideoStitcher:
                 # composite_mat2._fallback_values) — no whole-LUT demotion
                 try:
                     from ..ops.pallas.composite_mat2 import _materialize2
-                    return ("mat2", jax.device_put(
-                        _materialize2(tlut, tuple(frame_hw))))
+                    return ("mat2", jax.device_put(_materialize2(
+                        tlut, tuple(frame_hw),
+                        sticky=self._kernel_memo.setdefault("mat2", {}))))
                 except Exception:
                     if kernel == "mat2":
                         if int(tlut.n_fallback) != 0:

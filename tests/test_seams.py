@@ -168,6 +168,69 @@ def test_graphcut_banded_matches_full(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_graphcut_banded_wrap_pair(rng):
+    """A 360° wrap pair (overlap straddling the canvas x edges) must get a
+    TIGHT circular band — not the full canvas width a plain bbox produces —
+    and still partition the overlap. Round-4 warm-path fix: the full-width
+    band was a ~24 MB relay fetch + an 11 s recompile per band-shape flip."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.seams import graphcut as gc
+    H, W, n = 64, 512, 2
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H, W, 3)).astype(np.float32), (9, 9), 3.0)
+    imgs = np.zeros((n, H, W, 3), np.float32)
+    masks = np.zeros((n, H, W), bool)
+    # camera 0 owns the wrap region [480..512) + [0..64); camera 1 owns
+    # [32..500): overlaps are [480..500) and [32..64) — both at the edges
+    masks[0, :, 480:] = True
+    masks[0, :, :64] = True
+    masks[1, :, 32:500] = True
+    for i in range(n):
+        imgs[i][masks[i]] = np.round(base[masks[i]])
+    sticky = {}
+    out = np.asarray(gc.graphcut_seams_banded(
+        jnp.asarray(imgs.astype(np.uint8)), jnp.asarray(masks), "color",
+        sticky=sticky))
+    # tight circular band: occupied arc is 480..64 (96 cols) + margins,
+    # far below the 512 full width
+    assert sticky["bw"] <= 256, sticky
+    assert not (out[0] & out[1]).any()
+    assert ((out[0] | out[1]) == (masks[0] | masks[1])).all()
+    # both overlap strips must be split sanely: each camera keeps its
+    # exclusive territory
+    assert out[0][:, 0].any() or out[0][:, 511].any()
+    assert out[1][:, 256].all()
+
+
+def test_graphcut_banded_segments_distant_blobs(rng):
+    """One pair overlapping in TWO blobs ~1500 px apart must produce two
+    TIGHT band segments (not one giant arc): round-4 fix for the stray-blob
+    band inflation seen on the reference rig's (3,4) pair."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.seams import graphcut as gc
+    H, W = 64, 2048
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H, W, 3)).astype(np.float32), (9, 9), 3.0)
+    masks = np.zeros((2, H, W), bool)
+    masks[0, :, 100:200] = True
+    masks[0, :, 1700:1780] = True
+    masks[1, :, 160:1750] = True       # overlaps: 160..200 and 1700..1750
+    imgs = np.zeros((2, H, W, 3), np.float32)
+    for i in range(2):
+        imgs[i][masks[i]] = np.round(base[masks[i]])
+    ref = gc.graphcut_seams(imgs, masks, "color")
+    sticky = {}
+    out = np.asarray(gc.graphcut_seams_banded(
+        jnp.asarray(imgs.astype(np.uint8)), jnp.asarray(masks), "color",
+        sticky=sticky))
+    assert sticky["bw"] <= 128, sticky   # two tight segments, not one arc
+    assert not (out[0] & out[1]).any()
+    assert ((out[0] | out[1]) == (masks[0] | masks[1])).all()
+    # the disjoint blobs decompose the BK graph: segment cuts match the
+    # full-canvas host path exactly
+    np.testing.assert_array_equal(out, ref)
+
+
 def _dp_fixture(orient: str, seed: int = 0, H=120, W=160, ov=48):
     """Two structured views with an overlap band: 'horizontal' = side-by-side
     cameras (tall narrow overlap), 'vertical' = stacked cameras (wide short
