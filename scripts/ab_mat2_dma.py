@@ -27,20 +27,30 @@ from stitchingvideo_tpu.ops.pallas.composite_mat2 import (    # noqa: E402
 from stitchingvideo_tpu.video.runtime import VideoStitcher    # noqa: E402
 
 
-REG_CACHE = "/tmp/ab_reg.npz"
+def _reg_cache_path(cfg: StitchConfig, frames) -> str:
+    """Registration cache keyed on the config AND the frame content, so a
+    stale cache from different footage or settings can never skew the A/B
+    (ADVICE r3: an unconditional /tmp/ab_reg.npz load did exactly that)."""
+    import hashlib
+    h = hashlib.sha256(repr(cfg).encode())
+    for f in frames:
+        h.update(np.asarray(f[::97, ::97]).tobytes())   # cheap content probe
+    return f"/tmp/ab_reg_{h.hexdigest()[:16]}.npz"
 
 
 def main():
     frames, src = load_frames()
     assert src == "reference_footage", src
-    vs = VideoStitcher(StitchConfig())
+    cfg = StitchConfig()
+    vs = VideoStitcher(cfg)
     t0 = time.perf_counter()
     import os
-    if os.path.exists(REG_CACHE):
-        vs.load_registration(REG_CACHE)
+    reg_cache = _reg_cache_path(cfg, frames)
+    if os.path.exists(reg_cache):
+        vs.load_registration(reg_cache)
     else:
         vs.register(frames, seed=0)
-        vs.save_registration(REG_CACHE)
+        vs.save_registration(reg_cache)
     print(f"register {time.perf_counter() - t0:.1f}s")
     assert vs._tlut is not None and vs._tlut[0] == "mat2", vs._tlut[0]
     ml = vs._tlut[1]
@@ -76,17 +86,22 @@ def main():
         sums = [tuple(np.asarray(fn(batches[i % len(batches)], ml))
                       .ravel().tolist()) for i in range(iters)]
         dt = (time.perf_counter() - t0) / (iters * B)
-        flat = [v for t in sums for v in t]
-        assert len(set(flat)) > len(flat) // 2, "outputs not distinct"
+        # anti-memoization gate: distinct input batches must yield distinct
+        # checksum TUPLES (individual scalar sums of sampled noise collide
+        # by pigeonhole; the 16-tuple cannot)
+        assert len(set(sums)) >= min(len(batches), iters), \
+            "outputs not distinct across input batches"
         print(f"{name}: {1.0 / dt:.1f} fps ({dt * 1e3:.2f} ms/frame)")
         return 1.0 / dt
 
-    # correctness cross-check on device before timing
+    # correctness cross-check on device before timing — a divergent variant
+    # must never be benchmarked (ADVICE r3: the match rate was only printed)
     ref = np.asarray(step_map1(batches[0], ml))
     for nm, fn in (("perb", step_perb), ("fused", step_fused)):
         got = np.asarray(fn(batches[0], ml))
         same = (got == ref).mean()
         print(f"{nm} checksum match vs map1: {same:.4f}")
+        assert same == 1.0, f"{nm} diverges from map1 — aborting timing"
 
     timeit("map1 ", step_map1)
     timeit("perb ", step_perb)

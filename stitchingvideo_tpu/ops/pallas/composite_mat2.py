@@ -39,6 +39,9 @@ WIN_HE = 32     # easy-class window height
 # free ~4 MB of VMEM scratch at GROUP=8.
 GROUP = 8
 GPAD = 2 * GROUP
+# experimental: run the vy reduction in bf16 (sweep_mat2.py measures the
+# fps/accuracy trade; default False = exact f32, required by parity gates)
+VY_BF16 = False
 
 
 @flax.struct.dataclass
@@ -689,8 +692,9 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
         two = cam_b != cam_a
         # slice the REFS (Mosaic lowers dynamic ref slices; dynamic_slice on
         # a loaded value is unimplemented)
+        vy_t = jnp.bfloat16 if VY_BF16 else jnp.float32
         vy = vy_ref[0, pl.ds(pl.multiple_of(g * win_h, win_h), win_h), :] \
-            .astype(jnp.float32)                                   # [wh, P]
+            .astype(vy_t)                                          # [wh, P]
         vxg = vx_ref[0, pl.ds(pl.multiple_of(g * VXW, VXW), VXW), :] \
             .astype(jnp.bfloat16)                                  # [VXW, P]
 
@@ -701,9 +705,9 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
                 src = win[buf, slot, :, c].reshape(B * win_h, VXW)                     .astype(jnp.bfloat16)
                 c_all = jax.lax.dot_general(
                     src, vxg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                v = jnp.sum(c_all.reshape(B, win_h, P) * vy[None],
-                            axis=1)                                # [B, P]
+                    preferred_element_type=vy_t)
+                v = jnp.sum((c_all.reshape(B, win_h, P) * vy[None])
+                            .astype(jnp.float32), axis=1)          # [B, P]
                 outs.append(v * (1.0 / (127.0 * 127.0)))
             return outs
 

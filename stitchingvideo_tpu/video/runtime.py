@@ -298,8 +298,7 @@ class VideoStitcher:
                 self._ftlut_reg = reg
         return state[0] in ("fmat", "fmat_sharded")
 
-    @staticmethod
-    def _try_tiled(lut: CompositeLUT, frame_hw, kernel: str = "auto",
+    def _try_tiled(self, lut: CompositeLUT, frame_hw, kernel: str = "auto",
                    mesh=None):
         """Build the Pallas fast-path state; None if not representable.
 
@@ -369,6 +368,8 @@ class VideoStitcher:
                         tlut, tuple(frame_hw),
                         sticky=self._kernel_memo.setdefault("mat2", {}))))
                 except Exception:
+                    log.warning("mat2 build failed; trying the mat kernel",
+                                exc_info=True)
                     if kernel == "mat2":
                         if int(tlut.n_fallback) != 0:
                             return None

@@ -120,20 +120,38 @@ class VideoFileSource(FrameSource):
 
 class SharedMemorySource(FrameSource):
     """Consumes N native shm rings (one producer process per camera —
-    the reference's GetFromRtsp model)."""
+    the reference's GetFromRtsp model).
 
-    def __init__(self, names: Sequence[str], timeout_s: float = 2.0):
+    stale_reads: a camera whose producer times out degrades gracefully for
+    up to this many reads by re-serving its last good frame (the panorama
+    keeps streaming through a producer hiccup/restart); after the budget is
+    spent, read() returns None and the stream loop exits. The reference
+    instead waits INFINITE on a dead producer and hangs the whole pipeline
+    (stitching_sharemem.cpp:106)."""
+
+    def __init__(self, names: Sequence[str], timeout_s: float = 2.0,
+                 stale_reads: int = 0):
         from .sharemem import ShmRing
         self.rings = [ShmRing.open(n) for n in names]
         self.num_cameras = len(names)
         self.timeout_s = timeout_s
+        self.stale_reads = stale_reads
+        self._last_good: List[Optional[np.ndarray]] = [None] * len(names)
+        self._stale_used = [0] * len(names)
 
     def read(self):
         frames = []
-        for r in self.rings:
+        for k, r in enumerate(self.rings):
             f = r.consume(self.timeout_s)
             if f is None:
-                return None
+                if (self._last_good[k] is None
+                        or self._stale_used[k] >= self.stale_reads):
+                    return None
+                self._stale_used[k] += 1
+                f = self._last_good[k]
+            else:
+                self._last_good[k] = f
+                self._stale_used[k] = 0
             frames.append(f)
         return frames
 
