@@ -11,7 +11,7 @@ import time
 CONFIGS = [(32, "f32"), (24, "f32"), (40, "f32"), (32, "bf16")]
 
 
-def run_one(win_he: int, vy_dtype: str) -> None:
+def run_one(win_he: int, vy_dtype: str, B: int = 16) -> None:
     import numpy as np
 
     sys.path.insert(0, "/root/repo")
@@ -47,7 +47,6 @@ def run_one(win_he: int, vy_dtype: str) -> None:
 
     n, fh, fw = len(frames), frames[0].shape[0], frames[0].shape[1]
     rng = np.random.default_rng(1)
-    B = 16
     batches = [jax.device_put(jnp.asarray(
         rng.integers(-128, 127, (B, n, 3, fh, fw), np.int8)))
         for _ in range(4)]
@@ -65,13 +64,15 @@ def run_one(win_he: int, vy_dtype: str) -> None:
                   .ravel().tolist()) for i in range(iters)]
     dt = (time.perf_counter() - t0) / (iters * B)
     assert len(set(sums)) >= min(len(batches), iters), "not distinct"
-    print(f"win_he={win_he} vy={vy_dtype}: {1.0/dt:.1f} fps "
+    print(f"win_he={win_he} vy={vy_dtype} B={B}: {1.0/dt:.1f} fps "
           f"({dt*1e3:.2f} ms/frame)", flush=True)
 
 
 def main():
     if len(sys.argv) > 1:
-        run_one(int(sys.argv[1]), sys.argv[2] if len(sys.argv) > 2 else "f32")
+        run_one(int(sys.argv[1]),
+                sys.argv[2] if len(sys.argv) > 2 else "f32",
+                int(sys.argv[3]) if len(sys.argv) > 3 else 16)
         return
     for win_he, vy in CONFIGS:
         r = subprocess.run([sys.executable, __file__, str(win_he), vy],

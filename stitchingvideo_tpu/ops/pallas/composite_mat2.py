@@ -705,9 +705,9 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
                 src = win[buf, slot, :, c].reshape(B * win_h, VXW)                     .astype(jnp.bfloat16)
                 c_all = jax.lax.dot_general(
                     src, vxg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=vy_t)
-                v = jnp.sum((c_all.reshape(B, win_h, P) * vy[None])
-                            .astype(jnp.float32), axis=1)          # [B, P]
+                    preferred_element_type=jnp.float32)
+                v = jnp.sum(c_all.reshape(B, win_h, P).astype(vy_t)
+                            * vy[None], axis=1).astype(jnp.float32)  # [B, P]
                 outs.append(v * (1.0 / (127.0 * 127.0)))
             return outs
 
