@@ -22,6 +22,8 @@ def run_one(win_he: int, vy_dtype: str, B: int = 16) -> None:
     m2.WIN_HE = win_he
     if vy_dtype == "bf16":
         m2.VY_BF16 = True
+    elif vy_dtype == "i8":
+        m2.MM_INT8 = True
 
     from bench import load_frames
     from stitchingvideo_tpu.config import StitchConfig

@@ -42,6 +42,11 @@ GPAD = 2 * GROUP
 # experimental: run the vy reduction in bf16 (sweep_mat2.py measures the
 # fps/accuracy trade; default False = exact f32, required by parity gates)
 VY_BF16 = False
+# x-interp matmul operand dtype: int8 windows x int8 weights accumulate
+# exactly in int32 on the MXU (both paths are exact for int8 values —
+# bf16-in/f32-acc also multiplies int8-representable values exactly — so
+# results are bit-identical; this only changes which MXU rate applies)
+MM_INT8 = False
 
 
 @flax.struct.dataclass
@@ -695,17 +700,24 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
         vy_t = jnp.bfloat16 if VY_BF16 else jnp.float32
         vy = vy_ref[0, pl.ds(pl.multiple_of(g * win_h, win_h), win_h), :] \
             .astype(vy_t)                                          # [wh, P]
-        vxg = vx_ref[0, pl.ds(pl.multiple_of(g * VXW, VXW), VXW), :] \
-            .astype(jnp.bfloat16)                                  # [VXW, P]
+        vxg = vx_ref[0, pl.ds(pl.multiple_of(g * VXW, VXW), VXW), :]
+        if not MM_INT8:
+            vxg = vxg.astype(jnp.bfloat16)                         # [VXW, P]
 
         def slot_val(slot):
             # [3][B, P]: per channel one M=B*win_h matmul + the vy reduce
             outs = []
             for c in range(3):
-                src = win[buf, slot, :, c].reshape(B * win_h, VXW)                     .astype(jnp.bfloat16)
-                c_all = jax.lax.dot_general(
-                    src, vxg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                src = win[buf, slot, :, c].reshape(B * win_h, VXW)
+                if MM_INT8:
+                    c_all = jax.lax.dot_general(
+                        src, vxg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                else:
+                    c_all = jax.lax.dot_general(
+                        src.astype(jnp.bfloat16), vxg,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 v = jnp.sum(c_all.reshape(B, win_h, P).astype(vy_t)
                             * vy[None], axis=1).astype(jnp.float32)  # [B, P]
                 outs.append(v * (1.0 / (127.0 * 127.0)))
@@ -806,10 +818,8 @@ MB_CHUNK = 8    # frames stacked per kernel pass (VMEM-bounded: the hard-
 
 
 @jax.jit
-def shift_planar_bn(planar_b_i8: jnp.ndarray) -> jnp.ndarray:
-    """[B,N,3,H,W] int8 -> [K,N,B,3,H,W]: batch INSIDE camera so one strided
-    window copy per tile slot reaches every frame of the micro-batch. The
-    transpose fuses into the pad+stack write (one pass over the bytes)."""
+def _shift_planar_bn_xla(planar_b_i8: jnp.ndarray) -> jnp.ndarray:
+    """XLA reference/fallback for shift_planar_bn (odd shapes, interpret)."""
     tb = planar_b_i8.transpose(1, 0, 2, 3, 4)   # [N, B, 3, H, W]
 
     def sh(k):
@@ -818,6 +828,59 @@ def shift_planar_bn(planar_b_i8: jnp.ndarray) -> jnp.ndarray:
         return jnp.pad(tb[..., k * BAND_STEP:],
                        ((0, 0),) * 4 + ((0, k * BAND_STEP),))
     return jnp.stack([sh(k) for k in range(N_SHIFTS)])
+
+
+def _shift_chunk_rows(h: int) -> int:
+    """Largest multiple-of-8 divisor of h with a <=~4 MB output block."""
+    best = 8
+    for hc in range(8, 137, 8):
+        if h % hc == 0:
+            best = hc
+    return best
+
+
+def _make_shift_kernel(hc: int):
+    def _kernel(in_ref, out_ref):
+        x = in_ref[0, 0]                       # [3, hc, W]
+        out_ref[0, 0, 0] = x
+        for k in range(1, N_SHIFTS):
+            s = k * BAND_STEP
+            out_ref[k, 0, 0] = jnp.concatenate(
+                [x[..., s:], jnp.zeros(x.shape[:-1] + (s,), x.dtype)], -1)
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def shift_planar_bn(planar_b_i8: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """[B,N,3,H,W] int8 -> [K,N,B,3,H,W]: batch INSIDE camera so one strided
+    window copy per tile slot reaches every frame of the micro-batch.
+
+    Pallas read-once-write-K kernel: the XLA pad+stack+transpose version
+    measured 3.23 ms/frame at B=8 (~45% of the mat2 pipeline, ~69 GB/s
+    effective); one pass over the bytes is the minimum traffic (read 1x,
+    write K x) for the band-shifted copies Mosaic's 128-lane DMA alignment
+    forces (scripts/test_misaligned_dma.py proves 32-aligned HBM window
+    reads are rejected)."""
+    B, N, C, H, W = planar_b_i8.shape
+    if W % 128 or H % 8 or W <= N_SHIFTS * BAND_STEP:
+        return _shift_planar_bn_xla(planar_b_i8)
+    hc = _shift_chunk_rows(H)
+    return pl.pallas_call(
+        _make_shift_kernel(hc),
+        grid=(N * B, H // hc),
+        in_specs=[pl.BlockSpec(
+            (1, 1, C, hc, W),
+            lambda nb, h: (nb % B, nb // B, 0, h, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (N_SHIFTS, 1, 1, C, hc, W),
+            lambda nb, h: (0, nb // B, nb % B, 0, h, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N_SHIFTS, N, B, C, H, W),
+                                       planar_b_i8.dtype),
+        interpret=interpret,
+    )(planar_b_i8)
 
 
 @partial(jax.jit, static_argnames=("interpret", "fused_dma"))
@@ -844,8 +907,8 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
         return out.reshape(B + pad, *out.shape[2:])[:B]
 
     Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
-    frames_sh = (shift_planar_bn(planar_b_i8) if fused_dma
-                 else jax.vmap(shift_planar)(planar_b_i8))
+    frames_sh = (shift_planar_bn(planar_b_i8, interpret=interpret)
+                 if fused_dma else jax.vmap(shift_planar)(planar_b_i8))
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
                                   None, interpret, fused_dma)

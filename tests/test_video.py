@@ -527,3 +527,56 @@ def test_video_component_subset_rig(scene):
     pano_kept = vs.composite([rig[i] for i in reg.src_indices])
     np.testing.assert_array_equal(pano_full_rig, pano_kept)
     assert (pano_full_rig.sum(-1) > 0).mean() > 0.3
+
+
+@pytest.mark.slow
+def test_streaming_composer_matches_serial(scene):
+    """StreamingComposer: K-deep pipelined outputs are bit-identical to the
+    serial composite() of the SAME input, in submit order (frame i out
+    before frame i+K in), and flush() drains the tail."""
+    from stitchingvideo_tpu.video.stream import StreamingComposer
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    vs.register(views)
+    rng = np.random.default_rng(3)
+    ins = []
+    for i in range(6):
+        jit = rng.integers(0, 6, np.stack(views).shape, np.uint8)
+        ins.append([np.clip(v.astype(np.int32) + j, 0, 255).astype(np.uint8)
+                    for v, j in zip(views, jit)])
+    sc = StreamingComposer(vs, depth=3)
+    got = []
+    for f in ins:
+        out = sc.submit(f)
+        if out is not None:
+            got.append(out)
+    assert len(got) == len(ins) - 2      # depth-1 still in flight
+    assert len(sc) == 2
+    got.extend(sc.flush())
+    assert len(sc) == 0 and len(got) == len(ins)
+    for f, out in zip(ins, got):
+        np.testing.assert_array_equal(out, vs.composite(f))
+
+
+@pytest.mark.slow
+def test_streaming_composer_device_reduce(scene):
+    """device_reduce substitutes the full-frame fetch (bench checksum
+    contract): distinct inputs produce distinct reduced outputs."""
+    import jax.numpy as jnp
+
+    from stitchingvideo_tpu.video.stream import StreamingComposer
+    views, *_ = scene
+    vs = VideoStitcher(_cfg())
+    vs.register(views)
+    sc = StreamingComposer(
+        vs, depth=2,
+        device_reduce=lambda o: o[::31, ::41].astype(jnp.int32).sum())
+    outs = []
+    for i in range(4):
+        shifted = [np.clip(v.astype(np.int32) + 3 * i, 0, 255)
+                   .astype(np.uint8) for v in views]
+        out = sc.submit(shifted)
+        if out is not None:
+            outs.append(int(out))
+    outs.extend(int(o) for o in sc.flush())
+    assert len(outs) == 4 and len(set(outs)) == 4
