@@ -499,25 +499,27 @@ def main():
                 # visible in the record, not an absent key
                 result["multiband_skipped"] = True
             else:
-                from stitchingvideo_tpu.blend.multiband_video import \
-                    multiband_video_frame as _mbf
+                from stitchingvideo_tpu.blend.multiband_video import (
+                    multiband_video_frame as _mbf,
+                    multiband_video_frames_batched as _mbfb)
                 stmb, crop_yx = vs._mbtlut
                 # planar int8 frame batches (value-128; see
-                # composite_mat.frames_to_planar_i8)
-                Bm = 8
+                # composite_mat.frames_to_planar_i8); Bm=16 amortizes the
+                # relay RTT to ~2 ms/frame and the whole band chain runs
+                # batched (B in the matmul M dims)
+                Bm = 16
                 mb_batches = [jax.device_put(jnp.asarray(
                     rng.integers(-128, 127, (Bm, n, 3, fh, fw), np.int8)))
-                    for _ in range(2)]
+                    for _ in range(3)]
 
                 @jax.jit
                 def step_m(fb, s):
-                    outs = jax.lax.map(
-                        lambda f: _mbf(f, s, crop_yx=crop_yx), fb)
+                    outs = _mbfb(fb, s, crop_yx=crop_yx)
                     return outs[:, :, 301, ::401].astype(jnp.int32) \
                         .sum(axis=(1, 2))
 
                 result["multiband_fps"] = round(
-                    run_timing(step_m, stmb, mb_batches, Bm, iters=2), 2)
+                    run_timing(step_m, stmb, mb_batches, Bm, iters=3), 2)
 
                 @jax.jit
                 def step_m1(f, s):

@@ -54,8 +54,10 @@ from stitchingvideo_tpu.ops.pallas.composite_mat2 import \
 
 
 def stage_fn(upto):
+    # st must be an ARGUMENT (closing over it bakes ~4 GB of weights into
+    # the HLO as constants and stalls the relay compile)
     @jax.jit
-    def run(planar):
+    def run(planar, st):
         x = composite_mat2_planar_pieces(planar, st.warp_lut, Nv)
         if upto == "warp":
             return x[:, :, 301, ::401].astype(jnp.float32).sum()
@@ -111,10 +113,10 @@ prev = 0.0
 for upto in ("warp", "pyr", "norms", "bands", "collapse", "full"):
     fn = stage_fn(upto)
     for s in singles:
-        np.asarray(fn(s))
+        np.asarray(fn(s, st))
     t0 = time.perf_counter()
     iters = 6
-    outs = [float(np.asarray(fn(singles[i % 3]))) for i in range(iters)]
+    outs = [float(np.asarray(fn(singles[i % 3], st))) for i in range(iters)]
     dt = (time.perf_counter() - t0) / iters * 1e3
     assert len(set(outs)) >= 3, "not distinct"
     print(f"{upto:9s}: {dt:7.2f} ms (+{dt - prev:6.2f})", flush=True)

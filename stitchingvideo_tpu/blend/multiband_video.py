@@ -68,6 +68,9 @@ class MultibandVideoState:
     buf_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     out_hw: Tuple[int, int] = flax.struct.field(pytree_node=False)
     bands: int = flax.struct.field(pytree_node=False)
+    # align-padded window-stack canvas width CWb (>= ax + Wb for every
+    # piece): the sharded path's local accumulators run on this width
+    pad_w: int = flax.struct.field(pytree_node=False, default=0)
 
 
 def _column_pieces(valid: np.ndarray) -> List[Tuple[int, int]]:
@@ -89,10 +92,13 @@ def _column_pieces(valid: np.ndarray) -> List[Tuple[int, int]]:
 
 def build_multiband_state(reg, frame_hw: Tuple[int, int],
                           blend_strength: float = 5.0,
-                          crop=None):
+                          crop=None, pad_pieces_to: int = 0):
     """From a Registration pytree -> (MultibandVideoState, crop_yx).
     crop=(y0,y1,x0,x1) applies the RT crop margins to the OUTPUT (canvas and
-    pyramids keep the full extent so blend character is unchanged)."""
+    pyramids keep the full extent so blend character is unchanged).
+    pad_pieces_to: round the virtual-camera count up to a multiple (empty
+    pieces — all-uncovered windows, zero masks — so the piece axis splits
+    evenly across canvas shards; see parallel/compose_multiband.py)."""
     from ..ops.pallas.composite import build_tiled_lut
     from ..video.lut import CompositeLUT
 
@@ -182,6 +188,21 @@ def build_multiband_state(reg, frame_hw: Tuple[int, int],
         # mat2 pieces kernel overlays them with the exact XLA gather
         luts.append(tl)
 
+    if pad_pieces_to and Nv % pad_pieces_to:
+        n_dummy = -Nv % pad_pieces_to
+        zer = np.zeros((CHb, Wb), np.float32)
+        empty = CompositeLUT(
+            cam_idx=jnp.asarray(np.full((CHb, Wb), -1, np.int32)),
+            src_x=jnp.asarray(zer), src_y=jnp.asarray(zer),
+            gain=jnp.asarray(np.ones((CHb, Wb), np.float32)))
+        for _ in range(n_dummy):
+            piece_cam.append(0)
+            piece_ax.append(0)
+            luts.append(build_tiled_lut(empty, tuple(frame_hw)))
+        m_w = np.concatenate(
+            [m_w, np.zeros((n_dummy, CHb, Wb), np.float32)])
+        Nv += n_dummy
+
     from ..ops.pallas.composite import concat_tiled_luts
     from ..ops.pallas.composite_mat2 import materialize2_used
     warp_lut = jax.device_put(
@@ -195,7 +216,7 @@ def build_multiband_state(reg, frame_hw: Tuple[int, int],
         gm=gm, recip=recip,
         piece_cam=tuple(piece_cam), piece_ax=tuple(piece_ax),
         canvas_hw=(CHp, CWp), buf_hw=(CHb, Wb),
-        out_hw=(y1 - y0, x1 - x0), bands=bands)
+        out_hw=(y1 - y0, x1 - x0), bands=bands, pad_w=CWb)
     return st, (y0, x0)
 
 
@@ -218,18 +239,28 @@ def _mask_state(m_w, piece_ax, canvas_hw, bands):
 
 @jax.jit
 def _bblur_up(x_bf16: jnp.ndarray) -> jnp.ndarray:
-    """pyr_up with f32 arithmetic on bf16 storage (fused casts)."""
-    return ppyr.pyr_up_p(x_bf16.astype(jnp.float32))
+    """pyr_up on bf16 storage: bf16 MXU operands (= the stored data,
+    nothing lost), exact f32 accumulation and output."""
+    return ppyr.pyr_up_p(x_bf16, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("interpret", "crop_yx"))
-def multiband_video_frame(planar_i8: jnp.ndarray, st: MultibandVideoState,
-                          crop_yx: Tuple[int, int] = (0, 0),
-                          interpret: bool = False) -> jnp.ndarray:
-    """[N,3,H,W] int8 planar frames (value-128, see
-    composite_mat.frames_to_planar_i8) -> blended [3, outH, outW] uint8."""
-    from ..ops.pallas.composite_mat2 import composite_mat2_planar_pieces
+def multiband_video_frames_batched(planar_b_i8: jnp.ndarray,
+                                   st: MultibandVideoState,
+                                   crop_yx: Tuple[int, int] = (0, 0),
+                                   interpret: bool = False) -> jnp.ndarray:
+    """[B,N,3,H,W] int8 planar frames (value-128, see
+    composite_mat.frames_to_planar_i8) -> blended [B, 3, outH, outW] uint8.
 
+    The whole band chain runs batched: B folds into the M dimension of the
+    warp kernel and of every pyramid matmul, and each canvas accumulation
+    touches B frames per pass — measured ~1.6x the per-frame throughput of
+    lax.map over the single-frame path at B=8 (the lax.map body leaves the
+    MXU mostly idle between short ops)."""
+    from ..ops.pallas.composite_mat2 import \
+        composite_mat2_planar_pieces_batched
+
+    B = planar_b_i8.shape[0]
     Nv = len(st.piece_cam)
     CHp, CWp = st.canvas_hw
     CHb, Wb = st.buf_hw
@@ -237,17 +268,21 @@ def multiband_video_frame(planar_i8: jnp.ndarray, st: MultibandVideoState,
 
     # -- warp every piece into its window: mat2 kernels (int8 DMAs, short
     # easy windows, seam-unowned groups skipped); the seam mask m0 is folded
-    # into the LUT so the output is already masked
-    x = composite_mat2_planar_pieces(planar_i8, st.warp_lut, Nv,
-                                     interpret=interpret)
-    # [Nv, 3, CHb, Wb] bf16
+    # into the LUT so the output is already masked. M-stacked over B with
+    # bf16 output blocks (the window grid is ~1.9x the pano grid — GROUP
+    # granularity keeps most window tiles "used" — so its output traffic
+    # matters twice as much).
+    x = composite_mat2_planar_pieces_batched(planar_b_i8, st.warp_lut, Nv,
+                                             interpret=interpret)
+    # [B, Nv, 3, CHb, Wb] bf16
 
     # -- window image pyramids + per-level normalized contributions -------
-    gp = ppyr.gaussian_pyramid_p(x.reshape(Nv * 3, CHb, Wb), bands)
+    gp = ppyr.gaussian_pyramid_p(x.reshape(B * Nv * 3, CHb, Wb), bands)
     norms = [None]
     for lvl in range(1, bands + 1):
-        gi = gp[lvl].reshape(Nv, 3, CHb >> lvl, Wb >> lvl)
-        norms.append((gi / jnp.maximum(st.gm[lvl], WEIGHT_EPS)[:, None])
+        gi = gp[lvl].reshape(B, Nv, 3, CHb >> lvl, Wb >> lvl)
+        norms.append((gi / jnp.maximum(st.gm[lvl],
+                                       WEIGHT_EPS)[None, :, None])
                      .astype(jnp.bfloat16))
 
     # band canvases for levels >= 1: sum_p lap_p * gm_p placed at ax>>lvl
@@ -255,41 +290,60 @@ def multiband_video_frame(planar_i8: jnp.ndarray, st: MultibandVideoState,
     for lvl in range(1, bands + 1):
         if lvl < bands:
             up = _bblur_up(norms[lvl + 1].reshape(
-                Nv * 3, CHb >> (lvl + 1), Wb >> (lvl + 1))) \
-                .reshape(Nv, 3, CHb >> lvl, Wb >> lvl)
+                B * Nv * 3, CHb >> (lvl + 1), Wb >> (lvl + 1))) \
+                .reshape(B, Nv, 3, CHb >> lvl, Wb >> lvl)
             lap = norms[lvl].astype(jnp.float32) - up
         else:
             lap = norms[bands].astype(jnp.float32)
-        contrib = lap * st.gm[lvl][:, None]
+        contrib = lap * st.gm[lvl][None, :, None]
         hl, wl = CHp >> lvl, CWp >> lvl
         hb, wb = CHb >> lvl, Wb >> lvl
-        acc = jnp.zeros((3, hl, wl), jnp.float32)
+        acc = jnp.zeros((B, 3, hl, wl), jnp.float32)
         for p, ax in enumerate(st.piece_ax):
             a = ax >> lvl
-            acc = acc.at[:, :min(hb, hl), a:a + wb].add(
-                contrib[p, :, :min(hb, hl), :min(wb, wl - a)])
+            acc = acc.at[:, :, :min(hb, hl), a:a + wb].add(
+                contrib[:, p, :, :min(hb, hl), :min(wb, wl - a)])
         band.append(acc)
 
     # -- collapse coarse..1 on canvas grids -------------------------------
-    C = band[-1] * st.recip[bands][None]
+    C = band[-1] * st.recip[bands][None, None]
     for lvl in range(bands - 1, 0, -1):
-        C = ppyr.pyr_up_p(C) + band[lvl - 1] * st.recip[lvl][None]
+        C = ppyr.pyr_up_p(C.reshape(B * 3, CHp >> (lvl + 1),
+                                    CWp >> (lvl + 1))) \
+            .reshape(B, 3, CHp >> lvl, CWp >> lvl) \
+            + band[lvl - 1] * st.recip[lvl][None, None]
 
     # -- level 0: band_0 = sum_p place(x_p - up(norm_1)_p * m_p) ----------
     # (x is the seam composite S restricted to its window and u the level-0
     # correction; folding the subtraction into window space leaves ONE
     # canvas accumulation instead of separate S and U passes)
-    u_all = _bblur_up(norms[1].reshape(Nv * 3, CHb >> 1, Wb >> 1)) \
-        .reshape(Nv, 3, CHb, Wb) * st.m0[:, None].astype(jnp.float32)
+    u_all = _bblur_up(norms[1].reshape(B * Nv * 3, CHb >> 1, Wb >> 1)) \
+        .reshape(B, Nv, 3, CHb, Wb) * st.m0[None, :, None] \
+        .astype(jnp.float32)
     d_all = x.astype(jnp.float32) - u_all
-    B0 = jnp.zeros((3, CHp, CWp), jnp.float32)
+    B0 = jnp.zeros((B, 3, CHp, CWp), jnp.float32)
     for p, ax in enumerate(st.piece_ax):
-        B0 = B0.at[:, :CHp, ax:ax + Wb].add(
-            d_all[p, :, :CHp, :min(Wb, CWp - ax)])
+        B0 = B0.at[:, :, :CHp, ax:ax + Wb].add(
+            d_all[:, p, :, :CHp, :min(Wb, CWp - ax)])
 
-    pano = B0 * st.recip[0][None] + ppyr.pyr_up_p(C)
+    pano = B0 * st.recip[0][None, None] \
+        + ppyr.pyr_up_p(C.reshape(B * 3, CHp >> 1, CWp >> 1)) \
+        .reshape(B, 3, CHp, CWp)
 
     oy, ox = crop_yx
     oh, ow = st.out_hw
-    out = jax.lax.dynamic_slice(pano, (jnp.int32(0), oy, ox), (3, oh, ow))
+    out = jax.lax.dynamic_slice(
+        pano, (jnp.int32(0), jnp.int32(0), oy, ox), (B, 3, oh, ow))
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("interpret", "crop_yx"))
+def multiband_video_frame(planar_i8: jnp.ndarray, st: MultibandVideoState,
+                          crop_yx: Tuple[int, int] = (0, 0),
+                          interpret: bool = False) -> jnp.ndarray:
+    """[N,3,H,W] int8 planar frames (value-128, see
+    composite_mat.frames_to_planar_i8) -> blended [3, outH, outW] uint8.
+    B=1 slice of the batched path (single code path => automatic parity)."""
+    return multiband_video_frames_batched(planar_i8[None], st,
+                                          crop_yx=crop_yx,
+                                          interpret=interpret)[0]

@@ -613,7 +613,8 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
     return pano
 
 
-def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
+def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
+                              out_dtype=jnp.float32):
     """Per-TILE grid kernel with the micro-batch stacked into the matmul M
     dimension: src for all B frames of a tile slot is one [B*win_h, VXW]
     operand, so the x-interp matmul runs at M = B*win_h instead of 3*win_h.
@@ -738,19 +739,21 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool):
                           for a, v in zip(acc, slot_val(1))),
             lambda: tuple(acc))
         for c in range(3):
-            out_ref[c, 0, :, :] = (res[c] + 128.0) * gc
+            out_ref[c, 0, :, :] = ((res[c] + 128.0) * gc).astype(out_dtype)
 
     return _kernel
 
 
 def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
                         B: int, out_init=None, interpret: bool = False,
-                        fused_dma: bool = True):
+                        fused_dma: bool = True, out_dtype=jnp.float32):
     """Per-tile batched _class_call: planar_sh_b is [N_SHIFTS, N, B, 3, H, W]
     int8 when fused_dma (one window copy per tile slot spans all B frames),
     [B, N_SHIFTS, N, 3, H, W] otherwise; output [3, Tg_total*GROUP, B, P]
-    f32 (tile-major, B as the sublane dim so each block write is a full
-    (B, P) tile)."""
+    out_dtype (tile-major, B as the sublane dim so each block write is a full
+    (B, P) tile). out_dtype=bf16 halves the output-block HBM traffic at the
+    cost of one pre-round bf16 rounding (<= +-1 u8 step) — the multiband
+    window path's choice; the pano path stays f32 for bit-parity."""
     TgC = cl.vx.shape[0]
     T_alloc = Tg_total * GROUP
 
@@ -781,8 +784,8 @@ def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
              else pltpu.SemaphoreType.DMA((2, 2, B))),
         ],
     )
-    kernel = _make_kernel_tile_batched(win_h, B, fused_dma)
-    out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), jnp.float32)
+    kernel = _make_kernel_tile_batched(win_h, B, fused_dma, out_dtype)
+    out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), out_dtype)
     if out_init is not None:
         def wrapped(gid_ref, cam_ref, org_ref, band_ref,
                     vx_ref, vy_ref, gcs_ref, prev_ref, frames_ref,
@@ -863,7 +866,9 @@ def shift_planar_bn(planar_b_i8: jnp.ndarray,
     forces (scripts/test_misaligned_dma.py proves 32-aligned HBM window
     reads are rejected)."""
     B, N, C, H, W = planar_b_i8.shape
-    if W % 128 or H % 8 or W <= N_SHIFTS * BAND_STEP:
+    if interpret or W % 128 or H % 8 or W <= N_SHIFTS * BAND_STEP:
+        # interpret mode: the python-loop grid walk is far slower than the
+        # (bit-identical) XLA formulation on CPU test shapes
         return _shift_planar_bn_xla(planar_b_i8)
     hc = _shift_chunk_rows(H)
     return pl.pallas_call(
@@ -976,3 +981,60 @@ def composite_mat2_planar_pieces(planar_i8: jnp.ndarray, ml: MatLUT2,
     # same u8 quantization as the gather reference (0..255 ints are exact in
     # bfloat16), kept bf16 for the downstream pyramid chain
     return jnp.clip(jnp.round(res), 0, 255).astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("pieces", "interpret", "fused_dma"))
+def composite_mat2_planar_pieces_batched(planar_b_i8: jnp.ndarray,
+                                         ml: MatLUT2, pieces: int,
+                                         interpret: bool = False,
+                                         fused_dma: bool = True
+                                         ) -> jnp.ndarray:
+    """Micro-batched composite_mat2_planar_pieces: [B, N, 3, H, W] int8 ->
+    [B, pieces, 3, Hb, Wb] bf16, per frame bit-identical to the single-frame
+    variant. B frames stack into the matmul M dimension exactly as in
+    composite_mat2_planar_batched — the multiband video path's warp stage at
+    serving batch sizes."""
+    B = planar_b_i8.shape[0]
+    if B > MB_CHUNK:
+        pad = (-B) % MB_CHUNK
+        pb = jnp.pad(planar_b_i8, ((0, pad),) + ((0, 0),) * 4)
+        chunks = pb.reshape((B + pad) // MB_CHUNK, MB_CHUNK, *pb.shape[1:])
+        out = jax.lax.map(
+            lambda ch: composite_mat2_planar_pieces_batched(
+                ch, ml, pieces, interpret=interpret, fused_dma=fused_dma),
+            chunks)
+        return out.reshape(B + pad, *out.shape[2:])[:B]
+
+    Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
+    frames_sh = (shift_planar_bn(planar_b_i8, interpret=interpret)
+                 if fused_dma else jax.vmap(shift_planar)(planar_b_i8))
+    bf = jnp.bfloat16
+    zeros = jnp.zeros((3, Tg * GROUP, B, P), bf)
+    if ml.tg_hard > 0:
+        out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
+                                  zeros, interpret, fused_dma, out_dtype=bf)
+        if ml.tg_easy > 0:
+            out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
+                                      out, interpret, fused_dma,
+                                      out_dtype=bf)
+    else:
+        out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
+                                  zeros, interpret, fused_dma, out_dtype=bf)
+
+    TgR = -(-ml.n_tiles // GROUP)
+    # [3, T_alloc, B, P] -> [B, 3, T, P]
+    out = out.transpose(2, 0, 1, 3)[:, :, :TgR * GROUP]
+    if ml.n_fb:
+        vals = jax.vmap(_fallback_values, in_axes=(0, None))(planar_b_i8, ml)
+        cur = out[:, :, ml.fb_tid, :]
+        merged = jnp.where(ml.fb_valid[None, None, :, None],
+                           vals.astype(bf), cur)
+        out = out.at[:, :, ml.fb_tid, :].set(merged)
+    out = out[:, :, :ml.n_tiles]
+    nty_all, ntx = ml.grid_hw
+    nty = nty_all // pieces
+    res = out.reshape(B, 3, pieces, nty, ntx, TILE_H, TILE_W) \
+             .transpose(0, 2, 1, 3, 5, 4, 6) \
+             .reshape(B, pieces, 3, nty * TILE_H, ntx * TILE_W)
+    return jnp.clip(jnp.round(res.astype(jnp.float32)), 0, 255) \
+        .astype(jnp.bfloat16)

@@ -1,18 +1,22 @@
-"""Planar ([C, H, W]) float pyramids built from shifted adds.
+"""Planar ([C, H, W]) float pyramids as banded-matrix MXU matmuls.
 
 Same math as ops/pyramid.py (OpenCV 5-tap kernel, BORDER_REFLECT_101,
-even sizes) in a TPU-fast formulation: ops/pyramid.py lowers the separable
-filter to a depthwise conv with C=3 channels minor — a shape the TPU
-backend executes at a tiny fraction of peak (measured ~3 s/frame of the
-multiband video path). Here the channel axis is MAJOR, W is minor
-(128-lane friendly), and each 5-tap pass is five strided-slice
-multiply-adds on the VPU; the x2 zero-stuff upsample is two stack+reshape
-interleaves (no scatter).
+even sizes) in a TPU-fast formulation. Three generations, fastest last:
+ops/pyramid.py lowers the separable filter to a depthwise conv with C=3
+channels minor — a shape the TPU backend executes at a tiny fraction of
+peak (measured ~3 s/frame of the multiband video path). The shifted-add
+polyphase version here (pyr_*_sa) fixed that, but its stride-2 phase
+extraction on the minor (lane) axis lowers to cross-lane shuffles. The
+default pyr_down_p/pyr_up_p apply the decimation/upsampling as banded
+[n, n'] matrices on the MXU — 3.2x faster again at multiband-video sizes
+(scripts/bench_pyr_mm.py) and exact-f32-accumulating.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,13 +104,79 @@ def _up_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return out.reshape(shape)
 
 
-def pyr_down_p(x: jnp.ndarray) -> jnp.ndarray:
+@lru_cache(maxsize=64)
+def _down_mat(n: int) -> np.ndarray:
+    """[n, n//2] banded decimation matrix: out[i] = sum_k K5[k] x[r(2i+k-2)]
+    with reflect-101 borders — the matrix form of _down_axis."""
+    m = n // 2
+    D = np.zeros((n, m), np.float32)
+    for i in range(m):
+        for k in range(5):
+            j = 2 * i + k - 2
+            if j < 0:
+                j = -j
+            elif j >= n:
+                j = 2 * (n - 1) - j
+            D[j, i] += _K5[k]
+    return D
+
+
+@lru_cache(maxsize=64)
+def _up_mat(n: int) -> np.ndarray:
+    """[n, 2n] zero-stuff upsample matrix (matrix form of _up_axis: left
+    reflect-101, right edge-replicate — see _up_axis docstring)."""
+    U = np.zeros((n, 2 * n), np.float32)
+    for i in range(n):
+        for k, off in ((0, -1), (2, 0), (4, 1)):   # even output 2i
+            j = i + off
+            j = 1 if j < 0 else (n - 1 if j >= n else j)
+            U[j, 2 * i] += 2.0 * _K5[k]
+        for k, off in ((1, 0), (3, 1)):            # odd output 2i+1
+            U[min(i + off, n - 1), 2 * i + 1] += 2.0 * _K5[k]
+    return U
+
+
+def _mm_axes(x: jnp.ndarray, A_h: np.ndarray, A_w: np.ndarray,
+             out_dtype=None) -> jnp.ndarray:
+    """Apply banded resampling matrices along H then W of [C, H, W] as two
+    MXU matmuls (f32 accumulation). The banded matrices spend ~n/5 redundant
+    zero FLOPs per tap, but the MXU is idle in this pipeline and the
+    polyphase shifted-add version's stride-2 phase extraction on the minor
+    (lane) axis lowers to cross-lane shuffles — measured 3.2x slower than
+    this form at multiband-video sizes (scripts/bench_pyr_mm.py)."""
+    dt = x.dtype
+    mm = jnp.bfloat16 if dt == jnp.bfloat16 else jnp.float32
+    Ah = jnp.asarray(A_h, mm)
+    Aw = jnp.asarray(A_w, mm)
+    t = jax.lax.dot_general(x.astype(mm), Ah, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [C, W, H']
+    o = jax.lax.dot_general(t.astype(mm), Aw, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [C, H', W']
+    return o.astype(out_dtype or dt)
+
+
+def pyr_down_p(x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
     """[C, H, W] -> [C, H//2, W//2] (H, W even)."""
+    return _mm_axes(x, _down_mat(x.shape[1]), _down_mat(x.shape[2]),
+                    out_dtype)
+
+
+def pyr_up_p(x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """[C, H, W] -> [C, 2H, 2W]: polyphase zero-stuff upsample.
+
+    out_dtype: override the output dtype without changing the matmul
+    operand dtype — bf16 inputs with f32 output keep the exact f32
+    accumulation (bf16 operands lose nothing: they ARE the stored data)."""
+    return _mm_axes(x, _up_mat(x.shape[1]), _up_mat(x.shape[2]), out_dtype)
+
+
+def pyr_down_sa(x: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-add reference formulation (kept for parity tests)."""
     return _down_axis(_down_axis(x, 1), 2)
 
 
-def pyr_up_p(x: jnp.ndarray) -> jnp.ndarray:
-    """[C, H, W] -> [C, 2H, 2W]: polyphase zero-stuff upsample."""
+def pyr_up_sa(x: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-add reference formulation (kept for parity tests)."""
     return _up_axis(_up_axis(x, 1), 2)
 
 

@@ -222,40 +222,56 @@ def shard_mat2_lut(ml: MatLUT2, mesh: Mesh) -> ShardedMat2:
         n_fb=fb_u, ndev=ndev)
 
 
+MAT2_BAND_FIELDS = (
+    "e_vx", "e_vy", "e_gcs", "e_cam", "e_org", "e_band", "e_gid",
+    "h_vx", "h_vy", "h_gcs", "h_cam", "h_org", "h_band", "h_gid",
+    "fb_tid", "fb_valid", "fb_cam", "fb_sx", "fb_sy", "fb_gain")
+
+
+def mat2_band_meta(sm: ShardedMat2) -> dict:
+    """Static meta describing one band's local MatLUT2."""
+    return dict(grid_hw=sm.grid_hw, pano_hw=sm.pano_hw,
+                frame_hw=sm.frame_hw, n_tiles=sm.n_tiles,
+                tg_easy=sm.tg_easy, tg_hard=sm.tg_hard,
+                n_fb=sm.n_fb, scratch_slot=True)
+
+
+def local_mat2_lut(bandargs, meta: dict) -> MatLUT2:
+    """Rebuild this shard's local MatLUT2 inside shard_map from the
+    leading-axis-[1] banded arrays (MAT2_BAND_FIELDS order)."""
+    (e_vx, e_vy, e_gcs, e_cam, e_org, e_band, e_gid,
+     h_vx, h_vy, h_gcs, h_cam, h_org, h_band, h_gid,
+     fb_tid, fb_valid, fb_cam, fb_sx, fb_sy, fb_gain) = \
+        (a[0] for a in bandargs)
+    easy = ClassLUT(vx=e_vx, vy=e_vy, gcs=e_gcs,
+                    tile_cam=e_cam.reshape(-1),
+                    tile_org=e_org.reshape(-1),
+                    tile_band=e_band.reshape(-1),
+                    gid=e_gid)
+    hard = ClassLUT(vx=h_vx, vy=h_vy, gcs=h_gcs,
+                    tile_cam=h_cam.reshape(-1),
+                    tile_org=h_org.reshape(-1),
+                    tile_band=h_band.reshape(-1),
+                    gid=h_gid)
+    return MatLUT2(easy=easy, hard=hard,
+                   n_fallback=fb_valid.sum().astype(jnp.int32),
+                   fb_tid=fb_tid, fb_valid=fb_valid, fb_cam=fb_cam,
+                   fb_sx=fb_sx, fb_sy=fb_sy, fb_gain=fb_gain, **meta)
+
+
 def sharded_composite_mat2_fn(mesh: Mesh, sm: ShardedMat2,
                               interpret: bool = False):
     """shard_map'd mat2 hot loop: frames replicated, panorama row-band
     sharded, per-tile fallback overlay band-local. Returns
     f(planar_i8 [N,3,H,W], ShardedMat2) -> [3, Hp_pad, Wp] uint8."""
-    meta = dict(grid_hw=sm.grid_hw, pano_hw=sm.pano_hw, frame_hw=sm.frame_hw,
-                n_tiles=sm.n_tiles, tg_easy=sm.tg_easy, tg_hard=sm.tg_hard,
-                n_fb=sm.n_fb, scratch_slot=True)
+    meta = mat2_band_meta(sm)
 
     def local(planar, *bandargs):
         # each per-band array arrives as [1, ...]: drop the shard axis
-        (e_vx, e_vy, e_gcs, e_cam, e_org, e_band, e_gid,
-         h_vx, h_vy, h_gcs, h_cam, h_org, h_band, h_gid,
-         fb_tid, fb_valid, fb_cam, fb_sx, fb_sy, fb_gain) = \
-            (a[0] for a in bandargs)
-        easy = ClassLUT(vx=e_vx, vy=e_vy, gcs=e_gcs,
-                        tile_cam=e_cam.reshape(-1),
-                        tile_org=e_org.reshape(-1),
-                        tile_band=e_band.reshape(-1),
-                        gid=e_gid)
-        hard = ClassLUT(vx=h_vx, vy=h_vy, gcs=h_gcs,
-                        tile_cam=h_cam.reshape(-1),
-                        tile_org=h_org.reshape(-1),
-                        tile_band=h_band.reshape(-1),
-                        gid=h_gid)
-        lml = MatLUT2(easy=easy, hard=hard,
-                      n_fallback=fb_valid.sum().astype(jnp.int32),
-                      fb_tid=fb_tid, fb_valid=fb_valid, fb_cam=fb_cam,
-                      fb_sx=fb_sx, fb_sy=fb_sy, fb_gain=fb_gain, **meta)
+        lml = local_mat2_lut(bandargs, meta)
         return composite_mat2_planar(planar, lml, interpret=interpret)
 
-    fields = ("e_vx", "e_vy", "e_gcs", "e_cam", "e_org", "e_band", "e_gid",
-              "h_vx", "h_vy", "h_gcs", "h_cam", "h_org", "h_band", "h_gid",
-              "fb_tid", "fb_valid", "fb_cam", "fb_sx", "fb_sy", "fb_gain")
+    fields = MAT2_BAND_FIELDS
     specs = (P(),) + tuple(
         P(*(("canvas",) + (None,) * (getattr(sm, f).ndim - 1)))
         for f in fields)

@@ -104,6 +104,7 @@ class VideoStitcher:
         self._ftlut = None                 # feather hot-loop state
         self._ftlut_reg = None             # the Registration it was built from
         self._mbtlut = None                # multiband hot-loop state
+        self._mbtlut_sharded = None        # (ShardedMultiband, fn) multichip
         self._mbtlut_reg = None
         self._reg: Optional[Registration] = None
         self._out_shape: Optional[tuple] = None
@@ -217,12 +218,33 @@ class VideoStitcher:
             try:
                 from ..blend.multiband_video import build_multiband_state
                 CW, CH = reg.canvas_wh
+                ndev = self._mesh.shape["canvas"] if self._mesh else 0
                 st, crop_yx = build_multiband_state(
                     reg, tuple(frame_hw),
                     self.cfg.compose.blend_strength,
-                    crop=self._crop_slices((CH, CW), reg.extent_wh))
+                    crop=self._crop_slices((CH, CW), reg.extent_wh),
+                    pad_pieces_to=ndev)
+                sharded = None
+                if self._mesh is not None and ndev > 1:
+                    # multichip: piece-shard the window chain, psum the band
+                    # canvases over ICI (parallel/compose_multiband.py) —
+                    # --canvas_shards covers all three compose modes
+                    try:
+                        from ..parallel.compose_multiband import (
+                            shard_multiband_state, sharded_multiband_fn)
+                        smb = shard_multiband_state(st, self._mesh)
+                        interp = jax.default_backend() != "tpu"
+                        fn = sharded_multiband_fn(self._mesh, smb,
+                                                  crop_yx=crop_yx,
+                                                  interpret=interp)
+                        sharded = (smb, fn)
+                    except Exception:
+                        log.warning(
+                            "sharded multiband build failed; using "
+                            "single-device", exc_info=True)
                 with self._lock:
                     self._mbtlut = (st, crop_yx)
+                    self._mbtlut_sharded = sharded
                     self._mbtlut_reg = reg
                 return True
             except Exception:
@@ -231,6 +253,7 @@ class VideoStitcher:
                     "blend path", exc_info=True)
                 with self._lock:
                     self._mbtlut = None
+                    self._mbtlut_sharded = None
                     self._mbtlut_reg = None
                 return False
 
@@ -495,6 +518,7 @@ class VideoStitcher:
             lut, tlut = self._lut, self._tlut
             ftlut, ft_reg = self._ftlut, self._ftlut_reg
             mbt, mb_reg = self._mbtlut, self._mbtlut_reg
+            mbs = self._mbtlut_sharded
         if mode == "lut":
             out = self._planar_with(
                 jnp.asarray(np.stack(self._select_frames(frames, reg))),
@@ -516,8 +540,12 @@ class VideoStitcher:
             interpret = jax.default_backend() != "tpu"
             sel = self._select_frames(frames, mb_reg or reg)
             planar = frames_to_planar_i8(jnp.asarray(np.stack(sel)))
-            out = multiband_video_frame(planar, st, crop_yx=crop_yx,
-                                        interpret=interpret)
+            if mbs is not None:
+                smb, sfn = mbs
+                out = sfn(planar, smb)      # crop baked into the shard fn
+            else:
+                out = multiband_video_frame(planar, st, crop_yx=crop_yx,
+                                            interpret=interpret)
             return self._fit_frame(np.asarray(planar_to_hwc(out)))
         return self._composite_blend(self._select_frames(frames, reg),
                                      mode, reg)

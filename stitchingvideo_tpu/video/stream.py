@@ -69,6 +69,7 @@ class StreamingComposer:
             lut, tlut = vs._lut, vs._tlut
             ftlut, ft_reg = vs._ftlut, vs._ftlut_reg
             mbt, mb_reg = vs._mbtlut, vs._mbtlut_reg
+            mbs = vs._mbtlut_sharded
         from ..ops.pallas.composite_mat import (frames_to_planar_i8,
                                                 planar_to_hwc)
         if mode == "lut":
@@ -88,8 +89,12 @@ class StreamingComposer:
             interpret = jax.default_backend() != "tpu"
             sel = vs._select_frames(frames, mb_reg or reg)
             planar = frames_to_planar_i8(jnp.asarray(np.stack(sel)))
-            out = multiband_video_frame(planar, st, crop_yx=crop_yx,
-                                        interpret=interpret)
+            if mbs is not None:
+                smb, sfn = mbs
+                out = sfn(planar, smb)
+            else:
+                out = multiband_video_frame(planar, st, crop_yx=crop_yx,
+                                            interpret=interpret)
             return planar_to_hwc(out), vs._fit_frame
         # blend fallback path is host-synchronous by construction
         return jnp.asarray(vs._composite_blend(

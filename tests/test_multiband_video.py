@@ -87,3 +87,59 @@ def test_column_pieces_multi_gap():
     m2[:, 150:300] = True
     assert _column_pieces(m2) == [(0, 300)]
     assert _column_pieces(np.zeros((4, W), bool)) == []
+
+
+def test_pyramid_matmul_matches_shifted_add():
+    """The MXU banded-matrix pyramids equal the shifted-add formulation
+    (f32: exact up to summation order)."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.ops import pyramid_planar as ppyr
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 255, (3, 96, 160)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ppyr.pyr_down_p(x)),
+                               np.asarray(ppyr.pyr_down_sa(x)), atol=2e-3)
+    s = jnp.asarray(rng.uniform(0, 255, (3, 48, 80)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ppyr.pyr_up_p(s)),
+                               np.asarray(ppyr.pyr_up_sa(s)), atol=2e-3)
+
+
+def test_pieces_batched_matches_single():
+    """The micro-batched window warp equals the single-frame pieces kernel
+    per frame up to its bf16 output-block rounding (<= 1 u8 step)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.config import StitchConfig
+    from stitchingvideo_tpu.ops.pallas.composite_mat import \
+        frames_to_planar_i8
+    from stitchingvideo_tpu.ops.pallas.composite_mat2 import (
+        composite_mat2_planar_pieces, composite_mat2_planar_pieces_batched)
+    from stitchingvideo_tpu.utils import synthetic
+    from stitchingvideo_tpu.video.runtime import VideoStitcher
+
+    views, *_ = synthetic.make_scene(n=3, img_wh=(512, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=7)
+    cfg = StitchConfig()
+    cfg = cfg.replace(
+        compose=dataclasses.replace(cfg.compose, warp_type="cylindrical",
+                                    blend_type="no", seam_find="voronoi",
+                                    expos_comp="no"),
+        video=dataclasses.replace(cfg.video, compose_mode="multiband"))
+    vs = VideoStitcher(cfg)
+    vs.register(list(views))
+    assert vs._mbtlut is not None
+    st, _ = vs._mbtlut
+    Nv = len(st.piece_cam)
+    rng = np.random.default_rng(2)
+    B = 3
+    pb = frames_to_planar_i8(jnp.asarray(np.stack(
+        [np.stack(views)] * B) + rng.integers(0, 3, (B, 1, 1, 1, 1),
+                                              np.uint8)).reshape(
+        B * len(views), *views[0].shape)).reshape(
+        B, len(views), 3, *views[0].shape[:2])
+    got = np.asarray(composite_mat2_planar_pieces_batched(
+        pb, st.warp_lut, Nv, interpret=True).astype(jnp.float32))
+    for b in range(B):
+        ref = np.asarray(composite_mat2_planar_pieces(
+            pb[b], st.warp_lut, Nv, interpret=True).astype(jnp.float32))
+        d = np.abs(got[b] - ref)
+        assert d.max() <= 1.0, (b, float(d.max()))

@@ -411,3 +411,44 @@ def test_videostitcher_multichip_product_path(rng):
     per_frame = np.asarray(vs.composite_planar(frames))
     np.testing.assert_array_equal(mb[0], mb[1])
     np.testing.assert_array_equal(mb[0], per_frame)
+
+
+def test_videostitcher_multichip_multiband_mode(rng):
+    """Product path: compose_mode='multiband' + canvas_shards piece-shards
+    the window chain (psum'd band canvases, parallel/compose_multiband.py)
+    and composes near-identically to single-device (the local accumulators
+    are cropped to the true canvas before the psum, so the collapse math is
+    the single path's; remaining diffs are f32 summation order)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import dataclasses
+    from stitchingvideo_tpu.config import StitchConfig
+    from stitchingvideo_tpu.utils import synthetic
+    from stitchingvideo_tpu.video.runtime import VideoStitcher
+
+    views, *_ = synthetic.make_scene(n=3, img_wh=(512, 288), fov_deg=55,
+                                     overlap_frac=0.4, seed=7)
+    cfg = StitchConfig()
+    cfg = cfg.replace(
+        compose=dataclasses.replace(cfg.compose, warp_type="cylindrical",
+                                    seam_find="voronoi", expos_comp="no"),
+        video=dataclasses.replace(cfg.video, compose_mode="multiband"))
+    cfg_sh = cfg.replace(parallel=dataclasses.replace(
+        cfg.parallel, canvas_shards=8))
+
+    vs1 = VideoStitcher(cfg)
+    vs1.register(list(views))
+    assert vs1._mbtlut is not None and vs1._mbtlut_sharded is None
+    pano1 = vs1.composite(list(views))
+
+    vs8 = VideoStitcher(cfg_sh)
+    vs8.register(list(views))
+    assert vs8._mbtlut is not None
+    assert vs8._mbtlut_sharded is not None, "sharded multiband not built"
+    smb, _fn = vs8._mbtlut_sharded
+    assert smb.ndev == 8 and len(vs8._mbtlut[0].piece_cam) % 8 == 0
+    pano8 = vs8.composite(list(views))
+    assert pano8.shape == pano1.shape
+    d = np.abs(pano8.astype(np.int16) - pano1.astype(np.int16))
+    assert np.median(d) == 0 and (d <= 2).mean() > 0.999, \
+        (np.median(d), float((d <= 2).mean()), int(d.max()))
