@@ -188,15 +188,21 @@ def _seam_canvas_place(warped, masks, rel_corners, canvas_hw):
 
 
 @partial(jax.jit, static_argnames=("kind", "shape"))
-def _seam_warp_batch(images, kind, scale, k_rinvs, corners, shape):
+def _seam_warp_batch(images, kind, scale, k_rinvs, corners, shape,
+                     src_hw=None):
     """All cameras' seam-scale warps in ONE dispatch (image linear/reflect +
-    mask nearest/constant), vmapped over the camera axis."""
+    mask nearest/constant), vmapped over the camera axis.
+
+    src_hw: static TRUE (H, W) source extent when `images` are bucket-padded
+    (shape bucketing: the in-range mask must follow the true extent; reads
+    just past it hit the reflect-101 pad — the same values border='reflect'
+    resampling of the unpadded image yields)."""
     def one(img, k_rinv, corner):
         xm, ym, valid = rasterize_backward_map(kind, scale, k_rinv, corner, shape)
         w = remap(img, xm, ym, interp="linear", border="reflect")
         # the mask 'warp' (remap of ones, nearest/constant) is analytically
         # the nearest-tap in-range test — no gather needed
-        H, W = img.shape[:2]
+        H, W = src_hw if src_hw is not None else img.shape[:2]
         inb = (xm > -0.5) & (xm < W - 0.5) & (ym > -0.5) & (ym < H - 0.5)
         return w, inb & valid
     return jax.vmap(one)(images, k_rinvs, corners)
@@ -305,20 +311,32 @@ class Stitcher:
         shape = (self._sticky("seam_h", max(sh[0] for sh in s_shapes)),
                  self._sticky("seam_w", max(sh[1] for sh in s_shapes)))
         if len(set(seam_shapes)) == 1:
-            # one upload (seam scale, ~1 MB) + one dispatch for all cameras
+            # one upload (seam scale, ~1 MB) + one dispatch for all cameras;
+            # bucket-padded so any rig in the same shape bucket reuses the
+            # compiled program (cold-start shape bucketing, src extent masks)
+            from ..register.pipeline import _pad_to_bucket
+            src_hw = seam_imgs[0].shape[:2]
             wb, mb = _seam_warp_batch(
-                jnp.asarray(np.stack(seam_imgs)), kind, s_scale,
-                jnp.asarray(np.stack(k_rinvs)),
-                jnp.asarray(np.array(s_corners, np.float32)), shape)
+                jnp.asarray(np.stack([_pad_to_bucket(im)
+                                      for im in seam_imgs])),
+                kind, s_scale, jnp.asarray(np.stack(k_rinvs)),
+                jnp.asarray(np.array(s_corners, np.float32)), shape,
+                src_hw=tuple(src_hw))
         else:
+            from ..register.pipeline import _pad_to_bucket
             s_warped, s_masks = [], []
             for i in range(n):
+                h_t, w_t = seam_imgs[i].shape[:2]
+                padded = _pad_to_bucket(seam_imgs[i])
                 img_w, _xm, _ym, valid = _warp_with_maps(
-                    jnp.asarray(seam_imgs[i]), kind, s_scale,
+                    jnp.asarray(padded), kind, s_scale,
                     jnp.asarray(k_rinvs[i]),
                     jnp.asarray(s_corners[i], jnp.float32), shape,
                     "linear", "reflect")
-                ones = jnp.ones(seam_imgs[i].shape[:2], jnp.float32)
+                # true-extent ones, zero pad: the mask warp keeps the true
+                # in-range semantics on the padded array
+                ones = jnp.zeros(padded.shape[:2], jnp.float32) \
+                    .at[:h_t, :w_t].set(1.0)
                 mask_w, _, _, _ = _warp_with_maps(
                     ones, kind, s_scale, jnp.asarray(k_rinvs[i]),
                     jnp.asarray(s_corners[i], jnp.float32), shape,

@@ -99,15 +99,26 @@ def harris_score_map(gray: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector"))
 def detect(gray: jnp.ndarray, threshold: float = 20.0, max_kp: int = 1024,
-           border: int = 24, grid=(3, 1), detector: str = "fast"):
+           border: int = 24, grid=(3, 1), detector: str = "fast",
+           extent=None):
     """Top-k FAST/Harris keypoints.
 
     Returns (xy [K,2] float32, response [K], valid [K] bool).
     A per-grid-cell score normalization spreads keypoints spatially, echoing
     OrbFeaturesFinder's grid partition (reference matchers.cpp:370-434).
     detector: 'fast' (FAST-9/16 gate + Harris rank) or 'harris' (pure Harris).
+    extent: TRACED [2] (Ht, Wt) true image extent when `gray` is
+    bucket-padded (cold-start shape bucketing: one compiled program serves
+    every rig whose work images round up to the same padded shape — the
+    extent is a runtime VALUE, never a trace key). Keypoints are confined
+    to the extent minus the border, exactly as border confines them to the
+    unpadded image.
     """
     H, W = gray.shape
+    if extent is None:
+        Ht, Wt = H, W
+    else:
+        Ht, Wt = extent[0], extent[1]
     if detector == "harris":
         raw = harris_score_map(gray)
         raw = jnp.where(raw > threshold, raw, 0.0)
@@ -116,14 +127,15 @@ def detect(gray: jnp.ndarray, threshold: float = 20.0, max_kp: int = 1024,
     score = _nms3(raw)
     yy = jnp.arange(H)[:, None]
     xx = jnp.arange(W)[None, :]
-    inb = (xx >= border) & (xx < W - border) & (yy >= border) & (yy < H - border)
+    inb = (xx >= border) & (xx < Wt - border) & (yy >= border) & (yy < Ht - border)
     score = jnp.where(inb, score, 0.0)
 
     gx, gy = grid
     if gx * gy > 1:
         # normalize score per cell so each cell competes fairly in the top-k
-        cw = -(-W // gx)
-        ch = -(-H // gy)
+        # (cells span the TRUE extent so padding never skews the partition)
+        cw = -(-Wt // gx)
+        ch = -(-Ht // gy)
         cell = (yy // ch) * gx + (xx // cw)
         cell_max = jnp.zeros((gx * gy,), jnp.float32).at[cell.reshape(-1)].max(
             score.reshape(-1))
@@ -304,15 +316,16 @@ def grad_descriptors(gray: jnp.ndarray, xy: jnp.ndarray,
                                    "desc_kind"))
 def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
                         max_kp: int = 1024, border: int = 24, grid=(3, 1),
-                        detector: str = "fast", desc_kind: str = "brief"):
+                        detector: str = "fast", desc_kind: str = "brief",
+                        extent=None):
     """Full per-image feature pipeline (single scale).
 
     Returns dict(xy, response, angle, valid, desc) with static shapes.
     desc_kind: 'brief' (binary rBRIEF) or 'grad' (float gradient
-    histograms, the SURF-class modality).
+    histograms, the SURF-class modality). extent: see detect().
     """
     xy, response, valid = detect(gray, threshold, max_kp, border, grid,
-                                 detector)
+                                 detector, extent)
     ang = orientations(gray, xy)
     if desc_kind == "grad":
         desc = grad_descriptors(gray, xy, ang)

@@ -53,11 +53,30 @@ class RegistrationResult:
     features: List[dict]
 
 
+SHAPE_BUCKET_Q = 32   # work/seam image shapes round up to this (cold start)
+
+
+def _pad_to_bucket(img: np.ndarray, q: int = SHAPE_BUCKET_Q) -> np.ndarray:
+    """Reflect-101-pad H/W up to multiples of q. One compiled registration
+    program then serves EVERY rig whose scaled images land in the same
+    bucket (cold-start robustness, VERDICT r3 item 2): reads slightly past
+    the true edge see exactly what border=reflect resampling of the
+    unpadded image would produce, and feature extents mask the rest."""
+    h, w = img.shape[:2]
+    ph, pw = (-h) % q, (-w) % q
+    if not (ph or pw):
+        return img
+    pad = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pad, mode="reflect")
+
+
 def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[dict]:
     """Per-image feature dicts (gray conversion + detect_and_describe).
 
     Same-size images batch into ONE device dispatch (vmapped detector) —
-    the camera axis is data parallelism, not a host loop."""
+    the camera axis is data parallelism, not a host loop. Images are
+    bucket-padded before the trace boundary (shape bucketing); keypoint
+    coordinates and img_wh stay in TRUE image coordinates."""
     fc = cfg.features
     shapes = {im.shape for im in images}
     # kind -> (detector gate, descriptor family). 'grad' is the SURF-class
@@ -76,14 +95,17 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
             gray_np = np.clip(np.round(
                 a[..., 0] * 0.299 + a[..., 1] * 0.587 + a[..., 2] * 0.114),
                 0, 255).astype(np.uint8)
-            batch = jnp.asarray(gray_np)
+            batch = jnp.asarray(np.stack([_pad_to_bucket(g)
+                                          for g in gray_np]))
         else:
-            dev = jnp.asarray(stack)
+            dev = jnp.asarray(np.stack([_pad_to_bucket(im) for im in stack]))
             batch = color.rgb_to_gray(dev) if dev.ndim == 4 \
                 else dev.astype(jnp.float32)
+        h_t, w_t = images[0].shape[:2]
         f = _batched_detector(fc.max_keypoints, fc.border, fc.grid, det,
                               desc_kind)(
-            batch, fc.fast_threshold if det == "fast" else 1.0)
+            batch, fc.fast_threshold if det == "fast" else 1.0,
+            jnp.asarray([h_t, w_t], jnp.int32))
         # ONE host fetch of the packed small outputs (xy/valid/response/
         # angle, ~100 KB in a single array = a single relay round trip);
         # per-camera views are numpy slices. Handing out lazy device slices
@@ -96,14 +118,17 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
         # they never round-trip (round-4 warm-path cut).
         sm = np.asarray(f["small"])
         dev_batch = {"desc": f["desc"], "valid": f["valid"], "xy": f["xy"]}
-        wh = (int(batch.shape[2]), int(batch.shape[1]))
+        wh = (w_t, h_t)   # TRUE size: pp centering must ignore bucket pad
         return [{"xy": sm[i, :, 0:2], "valid": sm[i, :, 2] > 0.5,
                  "response": sm[i, :, 3], "angle": sm[i, :, 4],
                  "img_wh": wh, "_dev": (dev_batch, i)}
                 for i in range(len(images))]
     out = []
     for img in images:
-        arr = jnp.asarray(img)
+        h_t, w_t = img.shape[:2]
+        # the pyramid detector has no extent masking — feed it unpadded
+        arr = jnp.asarray(np.asarray(img) if fc.num_levels > 1
+                          else _pad_to_bucket(np.asarray(img)))
         gray = color.rgb_to_gray(arr) if arr.ndim == 3 else arr.astype(jnp.float32)
         if fc.num_levels > 1:
             f = feat_ops.detect_and_describe_pyramid(
@@ -114,9 +139,10 @@ def compute_features(images: Sequence[np.ndarray], cfg: StitchConfig) -> List[di
             f = feat_ops.detect_and_describe(
                 gray, threshold=fc.fast_threshold if det == "fast" else 1.0,
                 max_kp=fc.max_keypoints, border=fc.border, grid=fc.grid,
-                detector=det, desc_kind=desc_kind)
+                detector=det, desc_kind=desc_kind,
+                extent=jnp.asarray([h_t, w_t], jnp.int32))
         f = {k: np.asarray(v) for k, v in f.items()}  # host-side (see above)
-        f["img_wh"] = (int(gray.shape[1]), int(gray.shape[0]))
+        f["img_wh"] = (w_t, h_t)
         out.append(f)
     return out
 
@@ -130,13 +156,16 @@ def _batched_detector(max_kp, border, grid, detector="fast",
     """Cached jitted vmapped detector (a fresh jit wrapper per call would
     retrace + recompile on every re-registration). Accepts u8 or f32 gray;
     besides the raw outputs it returns a packed [N,K,5] 'small' array
-    (xy, valid, response, angle) so the host needs only ONE fetch."""
+    (xy, valid, response, angle) so the host needs only ONE fetch.
+    `extent` (true (Ht, Wt) when `gray` is bucket-padded) is a TRACED [2]
+    array — it must never key the compile cache, or bucketing two rigs to
+    one padded shape would still compile per rig."""
     @jax.jit
-    def run(gray, threshold):
+    def run(gray, threshold, extent):
         f = jax.vmap(lambda g: feat_ops.detect_and_describe(
             g.astype(jnp.float32), threshold=threshold, max_kp=max_kp,
             border=border, grid=grid, detector=detector,
-            desc_kind=desc_kind))(gray)
+            desc_kind=desc_kind, extent=extent))(gray)
         f["small"] = jnp.concatenate(
             [f["xy"].astype(jnp.float32),
              f["valid"][..., None].astype(jnp.float32),

@@ -131,3 +131,31 @@ def test_harris_brief_detector(rng):
     xy2 = np.asarray(f2["xy"])[np.asarray(dst)[valid]]
     good = (np.abs(xy2[:, 0] - xy1[:, 0] - 8) < 2) & (np.abs(xy2[:, 1] - xy1[:, 1]) < 2)
     assert good.mean() > 0.6
+
+
+def test_shape_bucketing_one_trace_many_extents():
+    """Work images bucket-pad to a shared shape and the true extent is a
+    traced VALUE: rigs with nearby sizes share one compiled detector, and
+    keypoints stay inside their own true extent minus the border."""
+    import jax.numpy as jnp
+
+    from stitchingvideo_tpu.register.pipeline import (_batched_detector,
+                                                      _pad_to_bucket)
+    rng = np.random.default_rng(0)
+    run = _batched_detector(128, 8, (1, 1), "harris", "brief")
+    n0 = run._cache_size() if hasattr(run, "_cache_size") else None
+    outs = []
+    for (h, w) in ((290, 390), (295, 413), (320, 416)):
+        img = rng.uniform(0, 255, (2, h, w)).astype(np.float32)
+        batch = jnp.asarray(np.stack([_pad_to_bucket(g) for g in img]))
+        assert batch.shape[1:] == (320, 416), batch.shape
+        f = run(batch, 1.0, jnp.asarray([h, w], jnp.int32))
+        sm = np.asarray(f["small"])
+        xy, valid = sm[..., 0:2], sm[..., 2] > 0.5
+        assert valid.any()
+        assert (xy[valid][:, 0] < w - 8).all(), "kp beyond true width"
+        assert (xy[valid][:, 1] < h - 8).all(), "kp beyond true height"
+        outs.append(valid.sum())
+    if n0 is not None:
+        assert run._cache_size() - n0 == 1, \
+            "bucketed shapes must share ONE compiled detector"
