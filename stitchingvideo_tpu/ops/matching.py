@@ -79,6 +79,81 @@ def _two_nn(D: jnp.ndarray):
     return d0, d1, j0
 
 
+# Above this K1*K2, match_pair streams the distance field in column chunks
+# instead of materializing it: the reference needs FLANN KD/LSH trees to
+# stay sub-quadratic in TIME on a CPU (matchers.cpp:147-202); on the MXU
+# the quadratic FLOPs are cheap far past any real keypoint budget (K=8192
+# is ~34 GFLOP/pair ~ 0.2 ms) and only the [K1,K2] MEMORY is a wall — so
+# the TPU-native scale path is exact chunked brute force, not approximate
+# hashing. Results are bit-identical to the dense path.
+CHUNKED_ABOVE = 4096 * 4096
+NN_CHUNK = 2048
+
+
+def _metric_block(d1, d2, v1, v2):
+    if jnp.issubdtype(d1.dtype, jnp.floating):
+        return l2_matrix(d1, d2, v1, v2)
+    return hamming_matrix(d1, d2, v1, v2)
+
+
+def _two_nn_chunked(d1, v1, d2, v2, chunk: int = NN_CHUNK):
+    """Exact per-row 2-NN of the (virtual) distance matrix, streamed over
+    column chunks of d2 — O(K1*chunk) live memory. Tie behavior matches
+    _two_nn (first index wins) because chunks scan left to right and merges
+    prefer the incumbent on equal distance."""
+    K1 = d1.shape[0]
+    K2 = d2.shape[0]
+    pad = (-K2) % chunk
+    d2p = jnp.pad(d2, ((0, pad), (0, 0)))
+    v2p = jnp.pad(v2, (0, pad))         # pad entries invalid -> +inf cols
+    nc = (K2 + pad) // chunk
+    d2c = d2p.reshape(nc, chunk, d2.shape[1])
+    v2c = v2p.reshape(nc, chunk)
+
+    def step(carry, xs):
+        b0, b1, bj = carry
+        dc, vc, off = xs
+        D = _metric_block(d1, dc, v1, vc)          # [K1, chunk]
+        c0, c1, cj = _two_nn(D)
+        cj = cj + off
+        take = c0 < b0
+        n0 = jnp.where(take, c0, b0)
+        nj = jnp.where(take, cj, bj)
+        n1 = jnp.where(take, jnp.minimum(b0, c1), jnp.minimum(b1, c0))
+        return (n0, n1, nj), None
+
+    init = (jnp.full((K1,), _INF), jnp.full((K1,), _INF),
+            jnp.zeros((K1,), jnp.int32))
+    offs = jnp.arange(nc, dtype=jnp.int32) * chunk
+    (d0, dsecond, j0), _ = jax.lax.scan(step, init, (d2c, v2c, offs))
+    return d0, dsecond, j0
+
+
+def _rank_chunked(d_eff, keep, chunk: int = 4 * NN_CHUNK):
+    """rank[i] = #kept entries strictly better than i (distance, then index
+    tie-break) — the dense [M,M] comparison matrix streamed in column
+    chunks (it is the other quadratic of match_pair at large K)."""
+    M = d_eff.shape[0]
+    pad = (-M) % chunk
+    dp = jnp.pad(d_eff, (0, pad), constant_values=np.float32(np.inf))
+    kp = jnp.pad(keep, (0, pad))
+    idx = jnp.arange(M + pad, dtype=jnp.int32)
+    nc = (M + pad) // chunk
+
+    def step(rank, xs):
+        dc, kc, ic = xs
+        better = (dc[None, :] < d_eff[:, None]) | \
+            ((dc[None, :] == d_eff[:, None]) &
+             (ic[None, :] < jnp.arange(M)[:, None]))
+        return rank + jnp.sum(better & kc[None, :], axis=1), None
+
+    rank, _ = jax.lax.scan(
+        step, jnp.zeros((M,), jnp.int32),
+        (dp.reshape(nc, chunk), kp.reshape(nc, chunk),
+         idx.reshape(nc, chunk)))
+    return rank
+
+
 @partial(jax.jit, static_argnames=("max_matches",))
 def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     """Best-of-2-nearest matching for one ordered image pair.
@@ -92,16 +167,17 @@ def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     (binary -> Hamming/LSH, float -> L2/KD-tree; matchers.cpp:169-180):
     integer descriptors use the Hamming matmul, floating ones true L2.
     """
-    if jnp.issubdtype(d1.dtype, jnp.floating):
-        D = l2_matrix(d1, d2, v1, v2)
+    K1, K2 = d1.shape[0], d2.shape[0]
+    if K1 * K2 > CHUNKED_ABOVE:
+        # exact chunked brute force (see CHUNKED_ABOVE): never materializes
+        # the [K1,K2] field, bit-identical results
+        f0, f1, fj = _two_nn_chunked(d1, v1, d2, v2)
+        b0, b1, bi = _two_nn_chunked(d2, v2, d1, v1)
     else:
-        D = hamming_matrix(d1, d2, v1, v2)
-    K1, K2 = D.shape
-
-    f0, f1, fj = _two_nn(D)
+        D = _metric_block(d1, d2, v1, v2)
+        f0, f1, fj = _two_nn(D)
+        b0, b1, bi = _two_nn(D.T)
     fwd_keep = (f0 < (1.0 - match_conf) * f1) & (f0 < _INF)
-
-    b0, b1, bi = _two_nn(D.T)
     bwd_keep = (b0 < (1.0 - match_conf) * b1) & (b0 < _INF)
     # Dedup: backward match (bi[j] -> j) already present if fwd row bi[j] kept
     # and points to j.
@@ -120,10 +196,14 @@ def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     # lowered to a full sort network that cost minutes of XLA compile and
     # a ~60 s executable load per fresh process (cold-start dominant).
     d_eff = jnp.where(keep, dist, jnp.inf)
-    better = (d_eff[None, :] < d_eff[:, None]) | \
-        ((d_eff[None, :] == d_eff[:, None]) &
-         (jnp.arange(d_eff.shape[0])[None, :] < jnp.arange(d_eff.shape[0])[:, None]))
-    rank = jnp.sum(better & keep[None, :], axis=1)
+    if (K1 + K2) ** 2 > CHUNKED_ABOVE:
+        rank = _rank_chunked(d_eff, keep)
+    else:
+        better = (d_eff[None, :] < d_eff[:, None]) | \
+            ((d_eff[None, :] == d_eff[:, None]) &
+             (jnp.arange(d_eff.shape[0])[None, :]
+              < jnp.arange(d_eff.shape[0])[:, None]))
+        rank = jnp.sum(better & keep[None, :], axis=1)
     slot = jnp.where(keep & (rank < max_matches), rank, max_matches)
     out_src = jnp.zeros((max_matches + 1,), src.dtype).at[slot].set(src)[:-1]
     out_dst = jnp.zeros((max_matches + 1,), dst.dtype).at[slot].set(dst)[:-1]

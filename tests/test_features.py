@@ -159,3 +159,59 @@ def test_shape_bucketing_one_trace_many_extents():
     if n0 is not None:
         assert run._cache_size() - n0 == 1, \
             "bucketed shapes must share ONE compiled detector"
+
+
+def test_chunked_two_nn_matches_dense():
+    """The streamed (O(K*chunk) memory) 2-NN is bit-identical to the dense
+    [K1,K2] field for both metrics, ragged chunks and ties included — the
+    TPU-native answer to the reference's FLANN scale path (matchers.cpp:
+    147-202): exact chunked brute force, not approximate hashing."""
+    from stitchingvideo_tpu.ops import matching as m
+    rng = np.random.default_rng(5)
+    for kind in ("binary", "float"):
+        K1, K2 = 173, 259               # ragged vs chunk=64
+        if kind == "binary":
+            d1 = rng.integers(0, 2, (K1, 256)).astype(np.uint8)
+            d2 = rng.integers(0, 2, (K2, 256)).astype(np.uint8)
+            # force ties: duplicate descriptor rows
+            d2[50] = d2[10]
+        else:
+            d1 = rng.normal(size=(K1, 64)).astype(np.float32)
+            d2 = rng.normal(size=(K2, 64)).astype(np.float32)
+            d2[40] = d2[7]
+        v1 = rng.uniform(size=K1) > 0.1
+        v2 = rng.uniform(size=K2) > 0.1
+        import jax.numpy as jnp
+        D = m._metric_block(jnp.asarray(d1), jnp.asarray(d2),
+                            jnp.asarray(v1), jnp.asarray(v2))
+        want = tuple(np.asarray(x) for x in m._two_nn(D))
+        got = tuple(np.asarray(x) for x in m._two_nn_chunked(
+            jnp.asarray(d1), jnp.asarray(v1), jnp.asarray(d2),
+            jnp.asarray(v2), chunk=64))
+        np.testing.assert_array_equal(got[2], want[2])
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-6)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-6)
+
+
+def test_match_pair_large_k_bounded_memory():
+    """K=8192 per image routes through the chunked path and matches the
+    small-K semantics on an embedded identical subset."""
+    import jax.numpy as jnp
+    from stitchingvideo_tpu.ops import matching as m
+    assert 8192 * 8192 > m.CHUNKED_ABOVE
+    rng = np.random.default_rng(6)
+    K = 8192
+    d1 = rng.integers(0, 2, (K, 256)).astype(np.uint8)
+    d2 = rng.integers(0, 2, (K, 256)).astype(np.uint8)
+    # plant 40 near-identical pairs (flip 2 bits) — must be found
+    for t in range(40):
+        d2[200 + t] = d1[100 + t]
+        d2[200 + t, t % 256] ^= 1
+    v = np.ones(K, bool)
+    src, dst, dist, keep = m.match_pair(
+        jnp.asarray(d1), jnp.asarray(v), jnp.asarray(d2), jnp.asarray(v),
+        match_conf=0.3, max_matches=256)
+    src, dst, keep = np.asarray(src), np.asarray(dst), np.asarray(keep)
+    planted = {(100 + t, 200 + t) for t in range(40)}
+    found = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    assert len(planted & found) >= 38, len(planted & found)
