@@ -614,7 +614,7 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
 
 
 def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
-                              out_dtype=jnp.float32):
+                              out_dtype=jnp.float32, quantize: bool = False):
     """Per-TILE grid kernel with the micro-batch stacked into the matmul M
     dimension: src for all B frames of a tile slot is one [B*win_h, VXW]
     operand, so the x-interp matmul runs at M = B*win_h instead of 3*win_h.
@@ -739,14 +739,27 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
                           for a, v in zip(acc, slot_val(1))),
             lambda: tuple(acc))
         for c in range(3):
-            out_ref[c, 0, :, :] = ((res[c] + 128.0) * gc).astype(out_dtype)
+            v = (res[c] + 128.0) * gc
+            if quantize:
+                # quantize IN the kernel: same round-half-to-even of the
+                # same f32 the untile pass applied; integers 0..255 are
+                # EXACT in bf16 (8 mantissa bits), so results stay
+                # bit-identical while the output-block HBM traffic halves
+                # (Mosaic cannot cast f32->u8 in-kernel; bf16 is the
+                # narrowest exact carrier). Raw lax ops: jnp.round/clip are
+                # jit-wrapped and their closed_call breaks Mosaic lowering.
+                v = jax.lax.clamp(
+                    0.0, jax.lax.round(
+                        v, jax.lax.RoundingMethod.TO_NEAREST_EVEN), 255.0)
+            out_ref[c, 0, :, :] = v.astype(out_dtype)
 
     return _kernel
 
 
 def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
                         B: int, out_init=None, interpret: bool = False,
-                        fused_dma: bool = True, out_dtype=jnp.float32):
+                        fused_dma: bool = True, out_dtype=jnp.float32,
+                        quantize: bool = False):
     """Per-tile batched _class_call: planar_sh_b is [N_SHIFTS, N, B, 3, H, W]
     int8 when fused_dma (one window copy per tile slot spans all B frames),
     [B, N_SHIFTS, N, 3, H, W] otherwise; output [3, Tg_total*GROUP, B, P]
@@ -784,7 +797,8 @@ def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
              else pltpu.SemaphoreType.DMA((2, 2, B))),
         ],
     )
-    kernel = _make_kernel_tile_batched(win_h, B, fused_dma, out_dtype)
+    kernel = _make_kernel_tile_batched(win_h, B, fused_dma, out_dtype,
+                                       quantize)
     out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), out_dtype)
     if out_init is not None:
         def wrapped(gid_ref, cam_ref, org_ref, band_ref,
@@ -914,6 +928,10 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
     Tg = -(-ml.n_tiles // GROUP) + (1 if ml.scratch_slot else 0)
     frames_sh = (shift_planar_bn(planar_b_i8, interpret=interpret)
                  if fused_dma else jax.vmap(shift_planar)(planar_b_i8))
+    # NOTE: blocks stay f32 — a (B=MB_CHUNK, P) block is exactly full f32
+    # (8,128) tiles; bf16-quantized blocks (half a (16,128) tile per write)
+    # measured SLOWER (138 vs 147 fps) despite halving the bytes, because
+    # every block write became a read-modify-write of the containing tile.
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
                                   None, interpret, fused_dma)
