@@ -407,11 +407,15 @@ def main():
             result["latency_error"] = repr(e)[:200]
 
     # ---- serial streaming path: K-deep pipelined B=1 dispatches ----
-    # (VERDICT r3 item 4.) Same bounded-lag contract as
+    # (VERDICT r3 item 4, r4 item 3.) Same bounded-lag contract as
     # video/stream.StreamingComposer: frame i's checksum is fetched before
     # frame i+K is submitted, so the dispatch RTT and the kernel overlap
     # instead of serializing. Inputs are pre-staged device-resident (as in
     # run_timing) so relay H2D bandwidth doesn't cap the measurement.
+    # copy_to_host_async at dispatch is what makes the overlap real through
+    # the relay: a synchronous delivery-time fetch costs a ~26 ms RTT that
+    # nothing overlaps (round-4's 35 fps mystery — scripts/probe_serial.py
+    # A-E isolate it); with the copy in flight delivery runs at kernel rate.
     if path == "pallas_mat2_real_reg" and reg_state is not None:
         try:
             from collections import deque
@@ -423,12 +427,15 @@ def main():
 
             for s_ in singles:
                 np.asarray(step_s(s_, state))          # warmup
-            depth, N = 4, 48
+            depth, N = 8, 48    # probe-verified: copies land within ~depth
+                                # frames of execute time through the relay
             q = deque()
             checks, tdel = [], []
             t0 = time.perf_counter()
             for i in range(N):
-                q.append(step_s(singles[i % len(singles)], state))
+                o = step_s(singles[i % len(singles)], state)
+                o.copy_to_host_async()
+                q.append(o)
                 if len(q) >= depth:
                     checks.append(int(np.asarray(q.popleft())))
                     tdel.append(time.perf_counter())
@@ -494,6 +501,7 @@ def main():
             fml = None
             state = reg_state = None
             batches = None
+            singles = singles_f = None   # free the latency buffers too
             if not vs.build_multiband_state((fh, fw)):
                 # a declined build (window overflow / OOM demotion) must be
                 # visible in the record, not an absent key
@@ -503,14 +511,6 @@ def main():
                     multiband_video_frame as _mbf,
                     multiband_video_frames_batched as _mbfb)
                 stmb, crop_yx = vs._mbtlut
-                # planar int8 frame batches (value-128; see
-                # composite_mat.frames_to_planar_i8); Bm=16 amortizes the
-                # relay RTT to ~2 ms/frame and the whole band chain runs
-                # batched (B in the matmul M dims)
-                Bm = 16
-                mb_batches = [jax.device_put(jnp.asarray(
-                    rng.integers(-128, 127, (Bm, n, 3, fh, fw), np.int8)))
-                    for _ in range(3)]
 
                 @jax.jit
                 def step_m(fb, s):
@@ -518,8 +518,32 @@ def main():
                     return outs[:, :, 301, ::401].astype(jnp.int32) \
                         .sum(axis=(1, 2))
 
-                result["multiband_fps"] = round(
-                    run_timing(step_m, stmb, mb_batches, Bm, iters=3), 2)
+                # planar int8 frame batches (value-128; see
+                # composite_mat.frames_to_planar_i8); Bm=16 amortizes the
+                # relay RTT to ~2 ms/frame and the whole band chain runs
+                # batched (B in the matmul M dims). HBM headroom after the
+                # pyramids is allocation-order dependent, so a
+                # RESOURCE_EXHAUSTED retries at half the batch instead of
+                # erasing the whole mode from the record (round-4 failure).
+                mb_batches = None
+                last_oom = None
+                for Bm in (16, 8, 4):
+                    try:
+                        mb_batches = None   # free the previous attempt first
+                        mb_batches = [jax.device_put(jnp.asarray(
+                            rng.integers(-128, 127, (Bm, n, 3, fh, fw),
+                                         np.int8))) for _ in range(3)]
+                        result["multiband_fps"] = round(
+                            run_timing(step_m, stmb, mb_batches, Bm,
+                                       iters=3), 2)
+                        result["multiband_Bm"] = Bm
+                        break
+                    except Exception as e:
+                        if "RESOURCE_EXHAUSTED" not in repr(e):
+                            raise
+                        last_oom = e
+                else:
+                    raise last_oom
 
                 @jax.jit
                 def step_m1(f, s):

@@ -19,11 +19,9 @@ def run_one(win_he: int, vy_dtype: str, B: int = 16) -> None:
     import jax.numpy as jnp
 
     from stitchingvideo_tpu.ops.pallas import composite_mat2 as m2
-    m2.WIN_HE = win_he
-    if vy_dtype == "bf16":
-        m2.VY_BF16 = True
-    elif vy_dtype == "i8":
-        m2.MM_INT8 = True
+    m2.WIN_HE = win_he           # build-time constant (fresh subprocess)
+    vy_bf16 = vy_dtype == "bf16"
+    mm_int8 = vy_dtype == "i8"
 
     from bench import load_frames
     from stitchingvideo_tpu.config import StitchConfig
@@ -55,7 +53,9 @@ def run_one(win_he: int, vy_dtype: str, B: int = 16) -> None:
 
     @jax.jit
     def step(fb, s):
-        outs = m2.composite_mat2_planar_batched(fb, s, fused_dma=True)
+        outs = m2.composite_mat2_planar_batched(fb, s, fused_dma=True,
+                                                vy_bf16=vy_bf16,
+                                                mm_int8=mm_int8)
         return outs[:, :, 301, ::401].astype(jnp.int32).sum(axis=(1, 2))
 
     for b in batches:

@@ -136,7 +136,11 @@ def detect(gray: jnp.ndarray, threshold: float = 20.0, max_kp: int = 1024,
         # (cells span the TRUE extent so padding never skews the partition)
         cw = -(-Wt // gx)
         ch = -(-Ht // gy)
-        cell = (yy // ch) * gx + (xx // cw)
+        # padded rows/cols (beyond the true extent) compute cell ids
+        # >= gx*gy; clamp instead of relying on JAX's out-of-bounds
+        # scatter-drop/gather-clamp defaults (their scores are already
+        # zeroed by the `inb` mask, so the clamped cell never wins)
+        cell = jnp.minimum((yy // ch) * gx + (xx // cw), gx * gy - 1)
         cell_max = jnp.zeros((gx * gy,), jnp.float32).at[cell.reshape(-1)].max(
             score.reshape(-1))
         score = score / jnp.maximum(cell_max[cell], 1e-12)

@@ -89,6 +89,17 @@ def _two_nn(D: jnp.ndarray):
 CHUNKED_ABOVE = 4096 * 4096
 NN_CHUNK = 2048
 
+# The enforced operating envelope of the exact path. Compute is O(K1*K2)
+# per pair; at the ceiling one pair costs 2*K^2*256 ~ 2.2 TFLOP ~ 12 ms on
+# a v5e MXU — still far cheaper than building a FLANN tree for the same K
+# on any CPU (the reference's answer to the same scaling problem,
+# matchers.cpp:147-202), and exact. Detectors in this framework emit
+# 1-8 K keypoints (ops/features.detect max_kp), so the ceiling is ~8x above
+# any reachable configuration; beyond it brute force stops being the right
+# tool (an ANN prefilter would be needed) and match_pair REFUSES loudly
+# instead of degrading quietly.
+MAX_KEYPOINTS = 65536
+
 
 def _metric_block(d1, d2, v1, v2):
     if jnp.issubdtype(d1.dtype, jnp.floating):
@@ -168,6 +179,12 @@ def match_pair(d1, v1, d2, v2, match_conf: float = 0.3, max_matches: int = 512):
     integer descriptors use the Hamming matmul, floating ones true L2.
     """
     K1, K2 = d1.shape[0], d2.shape[0]
+    if max(K1, K2) > MAX_KEYPOINTS:
+        raise ValueError(
+            f"match_pair: {max(K1, K2)} keypoints exceeds the exact "
+            f"brute-force envelope (MAX_KEYPOINTS={MAX_KEYPOINTS}); "
+            "reduce the detector budget (features.detect max_kp) — beyond "
+            "this scale an ANN prefilter, not exact 2-NN, is the right tool")
     if K1 * K2 > CHUNKED_ABOVE:
         # exact chunked brute force (see CHUNKED_ABOVE): never materializes
         # the [K1,K2] field, bit-identical results

@@ -39,14 +39,12 @@ WIN_HE = 32     # easy-class window height
 # free ~4 MB of VMEM scratch at GROUP=8.
 GROUP = 8
 GPAD = 2 * GROUP
-# experimental: run the vy reduction in bf16 (sweep_mat2.py measures the
-# fps/accuracy trade; default False = exact f32, required by parity gates)
-VY_BF16 = False
-# x-interp matmul operand dtype: int8 windows x int8 weights accumulate
-# exactly in int32 on the MXU (both paths are exact for int8 values —
-# bf16-in/f32-acc also multiplies int8-representable values exactly — so
-# results are bit-identical; this only changes which MXU rate applies)
-MM_INT8 = False
+# Experimental kernel variants are exposed as static parameters on the
+# batched entry points (NOT module globals — a mutated global would not
+# retrace an already-jitted program): vy_bf16 runs the vy reduction in bf16
+# (default False = exact f32, required by parity gates); mm_int8 runs the
+# x-interp matmul with int8 operands accumulating in int32 (exact for int8
+# values either way; only the MXU rate differs). sweep_mat2.py measures both.
 
 
 @flax.struct.dataclass
@@ -614,7 +612,8 @@ def composite_mat2_planar(planar_i8: jnp.ndarray, ml: MatLUT2,
 
 
 def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
-                              out_dtype=jnp.float32, quantize: bool = False):
+                              out_dtype=jnp.float32, quantize: bool = False,
+                              vy_bf16: bool = False, mm_int8: bool = False):
     """Per-TILE grid kernel with the micro-batch stacked into the matmul M
     dimension: src for all B frames of a tile slot is one [B*win_h, VXW]
     operand, so the x-interp matmul runs at M = B*win_h instead of 3*win_h.
@@ -698,11 +697,11 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
         two = cam_b != cam_a
         # slice the REFS (Mosaic lowers dynamic ref slices; dynamic_slice on
         # a loaded value is unimplemented)
-        vy_t = jnp.bfloat16 if VY_BF16 else jnp.float32
+        vy_t = jnp.bfloat16 if vy_bf16 else jnp.float32
         vy = vy_ref[0, pl.ds(pl.multiple_of(g * win_h, win_h), win_h), :] \
             .astype(vy_t)                                          # [wh, P]
         vxg = vx_ref[0, pl.ds(pl.multiple_of(g * VXW, VXW), VXW), :]
-        if not MM_INT8:
+        if not mm_int8:
             vxg = vxg.astype(jnp.bfloat16)                         # [VXW, P]
 
         def slot_val(slot):
@@ -710,7 +709,7 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
             outs = []
             for c in range(3):
                 src = win[buf, slot, :, c].reshape(B * win_h, VXW)
-                if MM_INT8:
+                if mm_int8:
                     c_all = jax.lax.dot_general(
                         src, vxg, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
@@ -759,7 +758,8 @@ def _make_kernel_tile_batched(win_h: int, B: int, fused_dma: bool,
 def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
                         B: int, out_init=None, interpret: bool = False,
                         fused_dma: bool = True, out_dtype=jnp.float32,
-                        quantize: bool = False):
+                        quantize: bool = False, vy_bf16: bool = False,
+                        mm_int8: bool = False):
     """Per-tile batched _class_call: planar_sh_b is [N_SHIFTS, N, B, 3, H, W]
     int8 when fused_dma (one window copy per tile slot spans all B frames),
     [B, N_SHIFTS, N, 3, H, W] otherwise; output [3, Tg_total*GROUP, B, P]
@@ -798,7 +798,7 @@ def _class_call_batched(planar_sh_b, cl: ClassLUT, win_h: int, Tg_total: int,
         ],
     )
     kernel = _make_kernel_tile_batched(win_h, B, fused_dma, out_dtype,
-                                       quantize)
+                                       quantize, vy_bf16, mm_int8)
     out_shape = jax.ShapeDtypeStruct((3, T_alloc, B, P), out_dtype)
     if out_init is not None:
         def wrapped(gid_ref, cam_ref, org_ref, band_ref,
@@ -902,10 +902,13 @@ def shift_planar_bn(planar_b_i8: jnp.ndarray,
     )(planar_b_i8)
 
 
-@partial(jax.jit, static_argnames=("interpret", "fused_dma"))
+@partial(jax.jit, static_argnames=("interpret", "fused_dma", "vy_bf16",
+                                   "mm_int8"))
 def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
                                   interpret: bool = False,
-                                  fused_dma: bool = True) -> jnp.ndarray:
+                                  fused_dma: bool = True,
+                                  vy_bf16: bool = False,
+                                  mm_int8: bool = False) -> jnp.ndarray:
     """Micro-batched mat2 composite: [B, N, 3, H, W] int8 (value-128) ->
     [B, 3, Hp, Wp] uint8, bit-identical per frame to composite_mat2_planar.
 
@@ -913,7 +916,10 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
     dimension (see _make_kernel_tile_batched), which both runs the MXU at
     ~3-5x the single-frame efficiency and amortizes the weight-stream HBM
     traffic B-fold; fused_dma batches each tile slot's B window copies into
-    one descriptor. B is chunked to MB_CHUNK per kernel pass."""
+    one descriptor. B is chunked to MB_CHUNK per kernel pass.
+
+    vy_bf16/mm_int8 select experimental kernel variants (see module note);
+    parity gates require the defaults."""
     B = planar_b_i8.shape[0]
     if B > MB_CHUNK:
         pad = (-B) % MB_CHUNK
@@ -921,7 +927,8 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
         chunks = pb.reshape((B + pad) // MB_CHUNK, MB_CHUNK, *pb.shape[1:])
         out = jax.lax.map(
             lambda ch: composite_mat2_planar_batched(
-                ch, ml, interpret=interpret, fused_dma=fused_dma),
+                ch, ml, interpret=interpret, fused_dma=fused_dma,
+                vy_bf16=vy_bf16, mm_int8=mm_int8),
             chunks)
         return out.reshape(B + pad, *out.shape[2:])[:B]
 
@@ -934,13 +941,16 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
     # every block write became a read-modify-write of the containing tile.
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
-                                  None, interpret, fused_dma)
+                                  None, interpret, fused_dma,
+                                  vy_bf16=vy_bf16, mm_int8=mm_int8)
         if ml.tg_easy > 0:
             out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
-                                      out, interpret, fused_dma)
+                                      out, interpret, fused_dma,
+                                      vy_bf16=vy_bf16, mm_int8=mm_int8)
     else:
         out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
-                                  None, interpret, fused_dma)
+                                  None, interpret, fused_dma,
+                                  vy_bf16=vy_bf16, mm_int8=mm_int8)
 
     nty, ntx = ml.grid_hw
     Hp, Wp = ml.pano_hw
@@ -1009,9 +1019,11 @@ def composite_mat2_planar_pieces_batched(planar_b_i8: jnp.ndarray,
                                          ) -> jnp.ndarray:
     """Micro-batched composite_mat2_planar_pieces: [B, N, 3, H, W] int8 ->
     [B, pieces, 3, Hb, Wb] bf16, per frame bit-identical to the single-frame
-    variant. B frames stack into the matmul M dimension exactly as in
-    composite_mat2_planar_batched — the multiband video path's warp stage at
-    serving batch sizes."""
+    variant: the kernel quantizes (round-half-even + clamp to 0..255) BEFORE
+    the bf16 block write, and integers 0..255 are exact in bf16, so the
+    narrower output blocks lose nothing. B frames stack into the matmul M
+    dimension exactly as in composite_mat2_planar_batched — the multiband
+    video path's warp stage at serving batch sizes."""
     B = planar_b_i8.shape[0]
     if B > MB_CHUNK:
         pad = (-B) % MB_CHUNK
@@ -1030,29 +1042,31 @@ def composite_mat2_planar_pieces_batched(planar_b_i8: jnp.ndarray,
     zeros = jnp.zeros((3, Tg * GROUP, B, P), bf)
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
-                                  zeros, interpret, fused_dma, out_dtype=bf)
+                                  zeros, interpret, fused_dma, out_dtype=bf,
+                                  quantize=True)
         if ml.tg_easy > 0:
             out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
                                       out, interpret, fused_dma,
-                                      out_dtype=bf)
+                                      out_dtype=bf, quantize=True)
     else:
         out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
-                                  zeros, interpret, fused_dma, out_dtype=bf)
+                                  zeros, interpret, fused_dma, out_dtype=bf,
+                                  quantize=True)
 
     TgR = -(-ml.n_tiles // GROUP)
-    # [3, T_alloc, B, P] -> [B, 3, T, P]
+    # [3, T_alloc, B, P] -> [B, 3, T, P]; kernel blocks are already
+    # quantized (exact 0..255 integers in bf16), so no post-round is needed
     out = out.transpose(2, 0, 1, 3)[:, :, :TgR * GROUP]
     if ml.n_fb:
         vals = jax.vmap(_fallback_values, in_axes=(0, None))(planar_b_i8, ml)
+        # quantize fallback values the same way before the bf16 cast
+        vals = jnp.clip(jnp.round(vals), 0, 255).astype(bf)
         cur = out[:, :, ml.fb_tid, :]
-        merged = jnp.where(ml.fb_valid[None, None, :, None],
-                           vals.astype(bf), cur)
+        merged = jnp.where(ml.fb_valid[None, None, :, None], vals, cur)
         out = out.at[:, :, ml.fb_tid, :].set(merged)
     out = out[:, :, :ml.n_tiles]
     nty_all, ntx = ml.grid_hw
     nty = nty_all // pieces
-    res = out.reshape(B, 3, pieces, nty, ntx, TILE_H, TILE_W) \
-             .transpose(0, 2, 1, 3, 5, 4, 6) \
-             .reshape(B, pieces, 3, nty * TILE_H, ntx * TILE_W)
-    return jnp.clip(jnp.round(res.astype(jnp.float32)), 0, 255) \
-        .astype(jnp.bfloat16)
+    return out.reshape(B, 3, pieces, nty, ntx, TILE_H, TILE_W) \
+              .transpose(0, 2, 1, 3, 5, 4, 6) \
+              .reshape(B, pieces, 3, nty * TILE_H, ntx * TILE_W)

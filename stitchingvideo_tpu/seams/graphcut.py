@@ -155,7 +155,12 @@ def _meta_and_packed_masks():
                        axis=1),
              gv.astype(jnp.int32), gi.astype(jnp.int32)], axis=1)
         wts = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-        packed = (masks.reshape(N, H, W // 8, 8).astype(jnp.uint8)
+        # pad W up to a multiple of 8 (product canvases bucket to 64, but
+        # direct callers may pass unaligned widths); the host unpack slices
+        # back to W
+        Wp8 = -(-W // 8) * 8
+        mpad = jnp.pad(masks, ((0, 0), (0, 0), (0, Wp8 - W)))
+        packed = (mpad.reshape(N, H, Wp8 // 8, 8).astype(jnp.uint8)
                   * wts).sum(axis=-1).astype(jnp.uint8)
         return meta, packed
 
@@ -284,7 +289,8 @@ def graphcut_seams_banded(canvas_imgs, canvas_masks,
     live = [k for k in range(len(pairs)) if meta[k, 0]]
     if not live:
         return canvas_masks
-    masks = np.unpackbits(np.asarray(packed_dev), axis=2).astype(bool)
+    masks = np.unpackbits(np.asarray(packed_dev), axis=2)[:, :, :W] \
+        .astype(bool)
 
     # one band entry per circular overlap SEGMENT (pair order, then x order)
     entries = []     # (cam_i, cam_j, ymin, xstart, width)
@@ -316,13 +322,41 @@ def graphcut_seams_banded(canvas_imgs, canvas_masks,
 
     row_ix = [np.arange(oy, oy + bh) for oy, _ in origins]
     col_ix = [(np.arange(ox, ox + bw) % W) for _, ox in origins]
-    for t, (i, j, _ym, _xs, _wd) in enumerate(entries):
+
+    # Wave-parallel BK cuts: two cuts commute exactly when their camera sets
+    # are disjoint (each _pair_cut reads and writes only masks[i]/masks[j]
+    # inside its own band), so entries are scheduled into waves that keep
+    # the sequential pair order for any shared camera and run each wave's
+    # cuts in host threads (grid_maxflow is stateless C and the ctypes call
+    # releases the GIL; the numpy band prep mostly does too). A 6-camera
+    # ring's 6 live pairs schedule as 2 waves of 3 — results are identical
+    # to the sequential reference order (seam_finders.cpp:1122-1135).
+    wave_of = []
+    last_wave_of_cam: dict = {}
+    for (i, j, _ym, _xs, _wd) in entries:
+        w_t = max(last_wave_of_cam.get(i, -1),
+                  last_wave_of_cam.get(j, -1)) + 1
+        wave_of.append(w_t)
+        last_wave_of_cam[i] = last_wave_of_cam[j] = w_t
+
+    def _cut_one(t):
+        i, j = entries[t][0], entries[t][1]
         sl = np.ix_(row_ix[t], col_ix[t])
         m1, m2 = _pair_cut(bands[t, 0].astype(np.float32),
                            bands[t, 1].astype(np.float32),
                            masks[i][sl], masks[j][sl], cost_type)
         masks[i][sl] = m1
         masks[j][sl] = m2
+
+    native_build.load()     # build/load once before threads fan out
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for w_t in range(max(wave_of) + 1 if wave_of else 0):
+            ts = [t for t in range(len(entries)) if wave_of[t] == w_t]
+            if len(ts) == 1:
+                _cut_one(ts[0])
+            else:
+                list(pool.map(_cut_one, ts))
 
     # final band states (order-independent: every cut-modified pixel lies in
     # some band, and these slices read the FINAL host masks)

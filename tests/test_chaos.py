@@ -41,12 +41,21 @@ def _assert_untorn(frame: np.ndarray) -> int:
     return v
 
 
-def _wait_ring(name: str, deadline_s: float = 20.0) -> ShmRing:
+def _wait_ring(name: str, deadline_s: float = 90.0,
+               proc: "subprocess.Popen | None" = None) -> ShmRing:
+    """Wait for a producer's ring to appear. The deadline is generous (a
+    producer is a fresh python process importing numpy/imageio; under full-
+    suite load six of them start at once and interpreter startup alone has
+    measured >20 s), but a producer that DIED is reported immediately."""
     t0 = time.monotonic()
     while True:
         try:
             return ShmRing.open(name)
         except OSError:
+            if proc is not None and proc.poll() is not None:
+                raise RuntimeError(
+                    f"producer for {name} exited rc={proc.returncode} "
+                    "before creating its ring")
             if time.monotonic() - t0 > deadline_s:
                 raise
             time.sleep(0.05)
@@ -61,7 +70,7 @@ def test_kill_producer_mid_publish_no_hang_no_torn_frame():
         name = f"/chaos_kill_{uuid.uuid4().hex[:8]}"
         p = _hammer_producer(name)
         try:
-            ring = _wait_ring(name)
+            ring = _wait_ring(name, proc=p)
             t_kill = time.monotonic() + float(rng.uniform(0.1, 0.4))
             consumed = 0
             killed = False
@@ -112,7 +121,7 @@ def test_torn_read_retry_under_wrap_pressure():
     name = f"/chaos_race_{uuid.uuid4().hex[:8]}"
     p = _hammer_producer(name)
     try:
-        ring = _wait_ring(name)
+        ring = _wait_ring(name, proc=p)
         last_v = -1
         got = 0
         t_end = time.monotonic() + 3.0
@@ -139,7 +148,7 @@ def test_producer_restart_consumer_reattaches():
     ring = None
     p2 = None
     try:
-        ring = _wait_ring(name)
+        ring = _wait_ring(name, proc=p1)
         assert ring.consume(timeout_s=5.0) is not None
         p1.kill()
         p1.wait()
@@ -151,7 +160,7 @@ def test_producer_restart_consumer_reattaches():
         ring = None
         p2 = _hammer_producer(name)   # recreates the shm name
         time.sleep(0.5)
-        ring = _wait_ring(name)
+        ring = _wait_ring(name, proc=p2)
         f = ring.consume(timeout_s=5.0)
         assert f is not None, "consumer did not recover after restart"
         _assert_untorn(f)
@@ -173,8 +182,8 @@ def test_dead_camera_degrades_then_stops():
     procs = [_hammer_producer(n) for n in names]
     src = None
     try:
-        for n in names:
-            _wait_ring(n).close()
+        for n, pr in zip(names, procs):
+            _wait_ring(n, proc=pr).close()
         src = SharedMemorySource(names, timeout_s=0.5, stale_reads=3)
         first = src.read()
         assert first is not None and len(first) == 2
@@ -225,8 +234,8 @@ def test_reregister_under_streaming_load(tmp_path):
              for n, p in zip(names, paths)]
     src = None
     try:
-        for n in names:
-            _wait_ring(n).close()
+        for n, pr in zip(names, procs):
+            _wait_ring(n, proc=pr).close()
         src = SharedMemorySource(names, timeout_s=5.0)
         vs = VideoStitcher(StitchConfig())
         shapes = []

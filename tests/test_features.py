@@ -215,3 +215,27 @@ def test_match_pair_large_k_bounded_memory():
     planted = {(100 + t, 200 + t) for t in range(40)}
     found = set(zip(src[keep].tolist(), dst[keep].tolist()))
     assert len(planted & found) >= 38, len(planted & found)
+
+
+def test_match_pair_enforces_keypoint_ceiling():
+    """Beyond MAX_KEYPOINTS the exact brute-force envelope refuses loudly
+    (clear error naming the knob) instead of degrading quietly — the
+    documented boundary where an ANN prefilter, not exact 2-NN, would be
+    the right tool (reference FLANN intent, matchers.cpp:147-202)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from stitchingvideo_tpu.ops import matching as m
+    K = m.MAX_KEYPOINTS + 1
+    d = jax.ShapeDtypeStruct((K, 256), jnp.uint8)
+    v = jax.ShapeDtypeStruct((K,), jnp.bool_)
+    ok_d = jax.ShapeDtypeStruct((64, 256), jnp.uint8)
+    ok_v = jax.ShapeDtypeStruct((64,), jnp.bool_)
+    with pytest.raises(ValueError, match="MAX_KEYPOINTS"):
+        jax.eval_shape(m.match_pair, d, v, ok_d, ok_v)
+    with pytest.raises(ValueError, match="MAX_KEYPOINTS"):
+        jax.eval_shape(m.match_pair, ok_d, ok_v, d, v)
+    # at the ceiling itself it still traces
+    d_at = jax.ShapeDtypeStruct((m.MAX_KEYPOINTS, 256), jnp.uint8)
+    v_at = jax.ShapeDtypeStruct((m.MAX_KEYPOINTS,), jnp.bool_)
+    jax.eval_shape(m.match_pair, d_at, v_at, ok_d, ok_v)
