@@ -155,7 +155,8 @@ def cmd_video(args) -> int:
     cfg = _build_cfg(args)
     cfg = cfg.replace(video=dataclasses.replace(
         cfg.video, reregister_seconds=args.reregister_seconds,
-        compose_mode=args.compose_mode))
+        compose_mode=args.compose_mode,
+        pipeline_depth=args.pipeline_depth))
     if getattr(args, "canvas_shards", 1) > 1:
         cfg = cfg.replace(parallel=dataclasses.replace(
             cfg.parallel, canvas_shards=args.canvas_shards))
@@ -276,6 +277,10 @@ def main(argv=None) -> int:
                          "hot-loop grade")
     pv.add_argument("--frames", type=int, default=100)
     pv.add_argument("--reregister_seconds", type=float, default=30.0)
+    pv.add_argument("--pipeline_depth", type=int, default=1,
+                    help="frames in flight in the hot loop (1 = reference "
+                         "semantics; K>1 overlaps dispatch/kernel/fetch, "
+                         "delivery lags ingest by up to K-1 frames)")
     pv.add_argument("--output_fps", type=float, default=30.0,
                     help="frame rate stamped on the encoded --output video")
     pv.add_argument("--display", action="store_true",

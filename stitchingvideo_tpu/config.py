@@ -95,6 +95,12 @@ class VideoConfig:
                                       # tiled > gather) or pinned; 'mat' has a
                                       # ~3x faster per-registration weight
                                       # build at ~15% lower hot-loop throughput
+    pipeline_depth: int = 1           # run() frames in flight: 1 = deliver
+                                      # frame i before reading i+1 (reference
+                                      # hot-loop semantics, :724-770); K>1
+                                      # pipelines K dispatches + async D2H so
+                                      # delivery runs at kernel rate with a
+                                      # K-frame bounded lag (video/stream.py)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -743,10 +743,20 @@ class VideoStitcher:
     # -- streaming loop ------------------------------------------------
     def run(self, source: FrameSource,
             on_frame: Optional[Callable[[np.ndarray, int], None]] = None,
-            max_frames: Optional[int] = None) -> FrameStats:
+            max_frames: Optional[int] = None,
+            pipeline_depth: Optional[int] = None) -> FrameStats:
         """Main loop with background re-registration every
-        cfg.video.reregister_seconds (reference :832-848)."""
+        cfg.video.reregister_seconds (reference :832-848).
+
+        pipeline_depth (default cfg.video.pipeline_depth): 1 keeps the
+        reference's submit-then-deliver-frame-i semantics; K>1 keeps K
+        composites in flight (dispatch + async D2H overlap, video/stream.
+        StreamingComposer) so on_frame(i) fires a bounded K-1 frames behind
+        ingest but at kernel rate instead of round-trip rate. Every frame is
+        still delivered exactly once, in order (the tail drains at exit)."""
         period = self.cfg.video.reregister_seconds
+        depth = (self.cfg.video.pipeline_depth if pipeline_depth is None
+                 else pipeline_depth)
         # re-entrancy: a previous run() set _stop in its finally; a fresh
         # loop needs a live worker (else re-registration requests are never
         # serviced and the exit drain spins its full deadline)
@@ -782,8 +792,13 @@ class VideoStitcher:
         self._latest_frames = frames
         self._reg_thread = threading.Thread(target=reg_worker, daemon=True)
         self._reg_thread.start()
+        sc = None
+        if depth > 1:
+            from .stream import StreamingComposer
+            sc = StreamingComposer(self, depth=depth)
         try:
             i = 0
+            delivered = 0
             while max_frames is None or i < max_frames:
                 with Timer() as t_read:
                     if i > 0:
@@ -793,16 +808,24 @@ class VideoStitcher:
                 with self._lock:
                     self._latest_frames = frames
                 with Timer() as t_comp:
-                    pano = self.composite(frames)
+                    pano = (sc.submit(frames) if sc is not None
+                            else self.composite(frames))
                 self.stats.read_s.append(t_read.elapsed)
                 self.stats.compose_s.append(t_comp.elapsed)
                 self.stats.frames += 1
-                if on_frame is not None:
-                    on_frame(pano, i)
+                if pano is not None:
+                    if on_frame is not None:
+                        on_frame(pano, delivered)
+                    delivered += 1
                 if time.monotonic() - self._last_reg_time > period:
                     self._last_reg_time = time.monotonic()  # rearm
                     self._reg_requested.set()
                 i += 1
+            if sc is not None:
+                for pano in sc.flush():      # drain the in-flight tail
+                    if on_frame is not None:
+                        on_frame(pano, delivered)
+                    delivered += 1
         finally:
             # drain any in-flight re-registration before tearing the worker
             # down (an interpreter exit with a live jax thread aborts hard)

@@ -580,3 +580,31 @@ def test_streaming_composer_device_reduce(scene):
             outs.append(int(out))
     outs.extend(int(o) for o in sc.flush())
     assert len(outs) == 4 and len(set(outs)) == 4
+
+
+@pytest.mark.slow
+def test_run_pipelined_delivers_every_frame_in_order(scene):
+    """run(pipeline_depth=3) delivers exactly one pano per ingested frame,
+    in ingest order, each bit-identical to the depth-1 run of the same
+    deterministic source (the product serial path's pipelining contract)."""
+    from stitchingvideo_tpu.video.sources import ReplaySource
+    views, *_ = scene
+
+    def src():
+        return ReplaySource(views, jitter=3.0, max_frames=5)
+
+    def collect(depth):
+        vs = VideoStitcher(_cfg())
+        got = []
+        stats = vs.run(src(), on_frame=lambda p, i: got.append((i, p)),
+                       max_frames=None, pipeline_depth=depth)
+        return got, stats
+
+    got1, st1 = collect(1)
+    got3, st3 = collect(3)
+    assert st1.frames == st3.frames == 5
+    assert [i for i, _ in got3] == list(range(5))
+    assert len(got1) == len(got3) == 5
+    for (i1, p1), (i3, p3) in zip(got1, got3):
+        assert i1 == i3
+        np.testing.assert_array_equal(p1, p3)
