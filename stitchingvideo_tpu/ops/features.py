@@ -44,24 +44,49 @@ def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     return jnp.roll(img, shift=(dy, dx), axis=(0, 1))
 
 
+# all 16 "9 consecutive of 16" circular run masks, one uint32 per start slot
+_ARC9_RUNS = np.array([sum(1 << ((s + k) % 16) for k in range(9))
+                       for s in range(16)], dtype=np.uint32)
+
+
 def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """FAST-9/16 corner mask * Harris response.
 
     gray: [H, W] float32 (0..255). Returns [H, W] response, 0 where not corner.
+
+    The 16 ring tests are packed as BITS of one uint32 [H, W] inside a
+    fori_loop (code emitted once), and the 9-consecutive-of-16 arc test is
+    16 scalar-mask compares on that bitfield. The earlier formulation — a
+    [16, H, W] stack of shifted copies plus 16 unrolled jnp.all over
+    [9, H, W] windows — compiled to a 1.5 MB TPU executable; on the remote
+    TPU relay, per-process first-execution cost is proportional to
+    executable bytes, which made this single map a multi-second slice of
+    every cold registration. This form generates ~10x less code for the
+    identical corner decision.
     """
     g = gray.astype(jnp.float32)
-    ring = jnp.stack([_shift2d(g, -int(dx), -int(dy)) for dx, dy in _FAST_OFFSETS])  # [16,H,W]
-    brighter = ring > (g + threshold)[None]
-    darker = ring < (g - threshold)[None]
+    offs = jnp.asarray(_FAST_OFFSETS)  # [16, 2] (dx, dy)
+    hi = g + threshold
+    lo = g - threshold
 
-    def arc9(mask):
-        m2 = jnp.concatenate([mask, mask[:8]], axis=0)  # wrap
-        hit = jnp.zeros_like(mask[0])
-        for s in range(16):
-            hit = hit | jnp.all(m2[s:s + 9], axis=0)
+    def body(i, acc):
+        bb, dd = acc
+        r = jnp.roll(jnp.roll(g, -offs[i, 1], axis=0), -offs[i, 0], axis=1)
+        bit = (jnp.uint32(1) << i.astype(jnp.uint32))
+        bb = bb | jnp.where(r > hi, bit, jnp.uint32(0))
+        dd = dd | jnp.where(r < lo, bit, jnp.uint32(0))
+        return bb, dd
+
+    z = jnp.zeros(g.shape, jnp.uint32)
+    bright, dark = jax.lax.fori_loop(0, 16, body, (z, z))
+
+    def has_run(bits):
+        hit = jnp.zeros(g.shape, jnp.bool_)
+        for m in _ARC9_RUNS:  # 16 elementwise uint32 compares — tiny code
+            hit = hit | ((bits & m) == m)
         return hit
 
-    corner = arc9(brighter) | arc9(darker)
+    corner = has_run(bright) | has_run(dark)
 
     # Harris response for ranking (ORB HARRIS_SCORE parity in spirit).
     ix = filters.sobel(g, 1, 0)
@@ -137,16 +162,26 @@ def detect(gray: jnp.ndarray, threshold: float = 20.0, max_kp: int = 1024,
         cw = -(-Wt // gx)
         ch = -(-Ht // gy)
         # padded rows/cols (beyond the true extent) compute cell ids
-        # >= gx*gy; clamp instead of relying on JAX's out-of-bounds
-        # scatter-drop/gather-clamp defaults (their scores are already
-        # zeroed by the `inb` mask, so the clamped cell never wins)
+        # >= gx*gy; clamp — their scores are already zeroed by the `inb`
+        # mask, so the clamped cell never wins
         cell = jnp.minimum((yy // ch) * gx + (xx // cw), gx * gy - 1)
-        cell_max = jnp.zeros((gx * gy,), jnp.float32).at[cell.reshape(-1)].max(
-            score.reshape(-1))
-        score = score / jnp.maximum(cell_max[cell], 1e-12)
+        # per-cell max as gx*gy masked reduces (static small count) instead
+        # of a scatter-max: the scatter lowered to a large TPU program, and
+        # cold-start cost scales with executable bytes (see fast_score_map)
+        norm = jnp.full(score.shape, 1e-12, jnp.float32)
+        for c in range(gx * gy):
+            in_c = cell == c
+            cmax = jnp.max(jnp.where(in_c, score, 0.0))
+            norm = jnp.where(in_c, jnp.maximum(cmax, 1e-12), norm)
+        score = score / norm
 
     flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_kp)
+    # approx_max_k lowers to the TPU PartialReduce op: ~10x smaller code and
+    # ~10x faster compile than exact top_k at k=1024 over ~650k scores. With
+    # recall_target=0.95 the (rare) misses are low-rank keypoints; detection
+    # quality gates (shift recovery, match counts) are unaffected. On CPU it
+    # falls back to exact top_k, keeping CPU-backend tests deterministic.
+    vals, idx = jax.lax.approx_max_k(flat, max_kp, recall_target=0.95)
     ky = (idx // W).astype(jnp.float32)
     kx = (idx % W).astype(jnp.float32)
     valid = vals > 0.0
