@@ -49,6 +49,60 @@ _ARC9_RUNS = np.array([sum(1 << ((s + k) % 16) for k in range(9))
                        for s in range(16)], dtype=np.uint32)
 
 
+def _sep_small(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray:
+    """Separable filter via shift-and-accumulate fori_loops (code-light).
+
+    Same border handling as filters.sep_filter2d (reflect101 pad + VALID),
+    same result up to float association. Used ONLY on the detector path:
+    conv_general_dilated generated ~150-200 KB of TPU code per small-kernel
+    pass, and cold-start cost on the remote relay scales with executable
+    bytes; a fori_loop body (one dynamic_slice + FMA) is emitted once per
+    axis regardless of tap count. Detection runs once per registration, so
+    the (negligible) extra HBM traffic of unfused accumulation is free.
+    """
+    from .filters import _pad2d
+    H, W = img.shape
+    kxa = jnp.asarray(kx, jnp.float32).reshape(-1)
+    kya = jnp.asarray(ky, jnp.float32).reshape(-1)
+    rx = (kxa.shape[0] - 1) // 2
+    ry = (kya.shape[0] - 1) // 2
+    x = _pad2d(img.astype(jnp.float32), ry, rx)
+
+    def bv(t, acc):
+        return acc + kya[t] * jax.lax.dynamic_slice(x, (t, 0), (H, W + 2 * rx))
+
+    v = jax.lax.fori_loop(0, kya.shape[0], bv,
+                          jnp.zeros((H, W + 2 * rx), jnp.float32))
+
+    def bh(t, acc):
+        return acc + kxa[t] * jax.lax.dynamic_slice(v, (0, t), (H, W))
+
+    return jax.lax.fori_loop(0, kxa.shape[0], bh,
+                             jnp.zeros((H, W), jnp.float32))
+
+
+_SOBEL_SMOOTH = np.array([1, 2, 1], np.float32)
+_SOBEL_DERIV = np.array([-1, 0, 1], np.float32)
+
+
+def _sobel_small(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
+    return _sep_small(img, _SOBEL_DERIV if dx else _SOBEL_SMOOTH,
+                      _SOBEL_DERIV if dy else _SOBEL_SMOOTH)
+
+
+def _harris_response(g: jnp.ndarray) -> jnp.ndarray:
+    """Harris corner response via the code-light filters (detector path)."""
+    ix = _sobel_small(g, 1, 0)
+    iy = _sobel_small(g, 0, 1)
+    k = filters.gaussian_kernel(7, 2.0)
+    sxx = _sep_small(ix * ix, k, k)
+    syy = _sep_small(iy * iy, k, k)
+    sxy = _sep_small(ix * iy, k, k)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - 0.04 * tr * tr
+
+
 def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """FAST-9/16 corner mask * Harris response.
 
@@ -89,15 +143,7 @@ def fast_score_map(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
     corner = has_run(bright) | has_run(dark)
 
     # Harris response for ranking (ORB HARRIS_SCORE parity in spirit).
-    ix = filters.sobel(g, 1, 0)
-    iy = filters.sobel(g, 0, 1)
-    k = filters.gaussian_kernel(7, 2.0)
-    sxx = filters.sep_filter2d(ix * ix, k, k)
-    syy = filters.sep_filter2d(iy * iy, k, k)
-    sxy = filters.sep_filter2d(ix * iy, k, k)
-    det = sxx * syy - sxy * sxy
-    tr = sxx + syy
-    harris = det - 0.04 * tr * tr
+    harris = _harris_response(g)
     return jnp.where(corner, jnp.maximum(harris, 1e-6), 0.0)
 
 
@@ -110,16 +156,7 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
 def harris_score_map(gray: jnp.ndarray) -> jnp.ndarray:
     """Pure Harris response (the 'harris_brief' detector option — corners
     without the FAST contrast gate; more stable on low-contrast content)."""
-    g = gray.astype(jnp.float32)
-    ix = filters.sobel(g, 1, 0)
-    iy = filters.sobel(g, 0, 1)
-    k = filters.gaussian_kernel(7, 2.0)
-    sxx = filters.sep_filter2d(ix * ix, k, k)
-    syy = filters.sep_filter2d(iy * iy, k, k)
-    sxy = filters.sep_filter2d(ix * iy, k, k)
-    det = sxx * syy - sxy * sxy
-    tr = sxx + syy
-    return jnp.maximum(det - 0.04 * tr * tr, 0.0)
+    return jnp.maximum(_harris_response(gray.astype(jnp.float32)), 0.0)
 
 
 @partial(jax.jit, static_argnames=("max_kp", "border", "grid", "detector"))
@@ -309,9 +346,10 @@ _G_OFFS, _G_CELL_OH, _G_WTS = _grad_pattern()
 def grad_descriptors(gray: jnp.ndarray, xy: jnp.ndarray,
                      angle: jnp.ndarray) -> jnp.ndarray:
     """[K, 128] float32 oriented gradient-histogram descriptors."""
-    g = filters.gaussian_blur(gray.astype(jnp.float32), 5, 1.2)
-    dx = filters.sobel(g, 1, 0)
-    dy = filters.sobel(g, 0, 1)
+    gk5 = filters.gaussian_kernel(5, 1.2)
+    g = _sep_small(gray.astype(jnp.float32), gk5, gk5)
+    dx = _sobel_small(g, 1, 0)
+    dy = _sobel_small(g, 0, 1)
     px_patch = _extract_patches(dx, xy, _PATCH)      # [K, P, P]
     py_patch = _extract_patches(dy, xy, _PATCH)
     ca, sa = jnp.cos(angle), jnp.sin(angle)          # [K]
@@ -370,7 +408,8 @@ def detect_and_describe(gray: jnp.ndarray, threshold: float = 20.0,
         desc = grad_descriptors(gray, xy, ang)
         desc = jnp.where(valid[:, None], desc, 0.0)
     else:
-        blurred = filters.gaussian_blur(gray.astype(jnp.float32), 7, 2.0)
+        gk = filters.gaussian_kernel(7, 2.0)
+        blurred = _sep_small(gray.astype(jnp.float32), gk, gk)
         desc = descriptors(blurred, xy, ang)
         desc = jnp.where(valid[:, None], desc, 0)
     return {"xy": xy, "response": response, "angle": ang, "valid": valid, "desc": desc}

@@ -42,9 +42,10 @@ GPAD = 2 * GROUP
 # Experimental kernel variants are exposed as static parameters on the
 # batched entry points (NOT module globals — a mutated global would not
 # retrace an already-jitted program): vy_bf16 runs the vy reduction in bf16
-# (default False = exact f32, required by parity gates); mm_int8 runs the
-# x-interp matmul with int8 operands accumulating in int32 (exact for int8
-# values either way; only the MXU rate differs). sweep_mat2.py measures both.
+# (default False = exact f32, required by parity gates); mm_int8 (default
+# True on the batched path) runs the x-interp matmul with int8 operands
+# accumulating in int32 (exact for int8 values either way; only the MXU
+# rate differs — measured +34% fps at B=16). sweep_mat2.py measures both.
 
 
 @flax.struct.dataclass
@@ -384,7 +385,7 @@ def _mat_chunk_h(xl, yl, win_h):
     return vx, vy
 
 
-def _make_kernel(win_h: int):
+def _make_kernel(win_h: int, mm_int8: bool = True):
     """Kernel over shifted frame copies: the input is [N_SHIFTS=5, N, 3, H,
     W] int8 where copy k is the frame shifted left by k*BAND_STEP columns.
     The per-slot band offset (0/32/64/96/128) selects the COPY instead of a
@@ -436,12 +437,20 @@ def _make_kernel(win_h: int):
             two = cam_b != cam_a
 
             def slot_val(slot, g=g):
-                src = win[buf, g, slot].reshape(3 * win_h, VXW) \
-                    .astype(jnp.bfloat16)
-                vxg = vx_ref[0, g * VXW:(g + 1) * VXW, :].astype(jnp.bfloat16)
-                c_all = jax.lax.dot_general(
-                    src, vxg, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                src = win[buf, g, slot].reshape(3 * win_h, VXW)
+                vxg = vx_ref[0, g * VXW:(g + 1) * VXW, :]
+                if mm_int8:
+                    # int8 operands, i32 accumulation: exact (identical to
+                    # the bf16->f32 path for these values) and ~2x the MXU
+                    # issue rate — the measured wall of this pipeline
+                    c_all = jax.lax.dot_general(
+                        src, vxg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                else:
+                    c_all = jax.lax.dot_general(
+                        src.astype(jnp.bfloat16), vxg.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
                 vy = vy_ref[0, g * win_h:(g + 1) * win_h, :].astype(jnp.float32)
                 vals = [jnp.sum(c_all[c * win_h:(c + 1) * win_h] * vy,
                                 axis=0, keepdims=True) for c in range(3)]
@@ -465,7 +474,8 @@ def _make_kernel(win_h: int):
 
 
 def _class_call(planar_i8, cl: ClassLUT, win_h: int, Tg_total: int,
-                out_init=None, interpret: bool = False):
+                out_init=None, interpret: bool = False,
+                mm_int8: bool = True):
     TgC = cl.vx.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -491,7 +501,7 @@ def _class_call(planar_i8, cl: ClassLUT, win_h: int, Tg_total: int,
             pltpu.SemaphoreType.DMA((2, GROUP, 2)),
         ],
     )
-    kernel = _make_kernel(win_h)
+    kernel = _make_kernel(win_h, mm_int8)
     if out_init is not None:
         def wrapped(gid_ref, cam_ref, org_ref, band_ref,
                     vx_ref, vy_ref, gcs_ref, prev_ref, frames_ref,
@@ -908,7 +918,7 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
                                   interpret: bool = False,
                                   fused_dma: bool = True,
                                   vy_bf16: bool = False,
-                                  mm_int8: bool = False) -> jnp.ndarray:
+                                  mm_int8: bool = True) -> jnp.ndarray:
     """Micro-batched mat2 composite: [B, N, 3, H, W] int8 (value-128) ->
     [B, 3, Hp, Wp] uint8, bit-identical per frame to composite_mat2_planar.
 
@@ -918,8 +928,13 @@ def composite_mat2_planar_batched(planar_b_i8: jnp.ndarray, ml: MatLUT2,
     traffic B-fold; fused_dma batches each tile slot's B window copies into
     one descriptor. B is chunked to MB_CHUNK per kernel pass.
 
-    vy_bf16/mm_int8 select experimental kernel variants (see module note);
-    parity gates require the defaults."""
+    vy_bf16 selects the (inexact) bf16 vy-reduce variant; parity gates
+    require the f32 default. mm_int8=True (default) runs the x-interp
+    matmuls with int8 operands accumulating in int32 — EXACT for the int8
+    frame values and int8-quantized weights (every partial sum fits i32),
+    bit-identical to the bf16->f32 path, and measured 147.8 -> 197.4 fps
+    at B=16 (5.07 ms/frame) on the v5e: the batched pipeline's wall is MXU
+    issue rate, and the int8 MXU path doubles it."""
     B = planar_b_i8.shape[0]
     if B > MB_CHUNK:
         pad = (-B) % MB_CHUNK

@@ -27,11 +27,19 @@ def ransac_homography(key, pts1: jnp.ndarray, pts2: jnp.ndarray,
     Returns dict(H [3,3], inliers [M] bool, num_inliers i32, ok bool).
     """
     M = pts1.shape[0]
-    logits = jnp.where(valid, 0.0, -jnp.inf)
     n_valid = valid.sum()
 
-    # [iters, 4] sample indices over valid correspondences
-    samples = jax.random.categorical(key, logits, shape=(iters, 4))
+    # [iters, 4] sample indices, uniform over valid correspondences, via
+    # inverse-CDF on the validity cumsum. jax.random.categorical here drew
+    # an [iters, 4, M] gumbel field (~1M transcendentals) and compiled to
+    # ~0.5 MB of TPU code; cold-start cost on the remote relay scales with
+    # executable bytes. searchsorted(cumsum(valid), u * n_valid) is the
+    # same uniform-over-valid draw with a [iters, 4] uniform and a binary
+    # search.
+    cdf = jnp.cumsum(valid.astype(jnp.float32))
+    u = jax.random.uniform(key, (iters, 4))
+    targets = jnp.floor(u * jnp.maximum(n_valid.astype(jnp.float32), 1.0))
+    samples = jnp.clip(jnp.searchsorted(cdf, targets + 0.5), 0, M - 1)
 
     def distinct(s):
         a = s[:, None] == s[None, :]

@@ -230,13 +230,23 @@ def _scatter_bands():
     def scatter(masks, band, idx, org, bh, bw):
         W = masks.shape[2]
         P = band.shape[0]
-        for pt in range(P):          # unrolled; P is a small padded bucket
+
+        # fori_loop over the P*2 band writes: each advanced-index scatter
+        # (wrapped columns) lowers to sizeable TPU code, and unrolling the
+        # loop compiled to a 1.6-5.4 MB SHAPE-DEPENDENT program — one per
+        # rig's band bucket, uncacheable across rigs, each costing seconds
+        # of per-process first-execution on the remote relay. Emitted once
+        # under the loop the program is ~P*2 times smaller; the write order
+        # (pt-major, side-minor) is preserved, k = 2*pt + s.
+        def body(k, m):
+            pt = k // 2
+            s = k % 2
             rows = org[pt, 0] + jnp.arange(bh)
             cols = (org[pt, 1] + jnp.arange(bw)) % W
-            for s in (0, 1):
-                masks = masks.at[idx[pt, s], rows[:, None],
-                                 cols[None, :]].set(band[pt, s])
-        return masks
+            return m.at[idx[pt, s], rows[:, None],
+                        cols[None, :]].set(band[pt, s])
+
+        return jax.lax.fori_loop(0, 2 * P, body, masks)
 
     return scatter
 
