@@ -398,13 +398,15 @@ def _fkernel(tile_cam_ref, tile_org_ref, tile_band_ref,
         two = cam_b != cam_a
 
         def slot_val(slot, g=g):
-            src = win[buf, g, slot].reshape(3 * WIN_H, VXW) \
-                .astype(jnp.bfloat16)
+            # int8 operands, i32 accumulation: exact for int8 frames and
+            # int8-quantized weights, ~2x the bf16 MXU issue rate (the
+            # mat2 pipeline's measured wall; same compute structure here)
+            src = win[buf, g, slot].reshape(3 * WIN_H, VXW)
             r = 2 * g + slot
-            vxg = vx_ref[0, r * VXW:(r + 1) * VXW, :].astype(jnp.bfloat16)
+            vxg = vx_ref[0, r * VXW:(r + 1) * VXW, :]
             c_all = jax.lax.dot_general(
                 src, vxg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.int32).astype(jnp.float32)
             vyg = vy_ref[0, r * WIN_H:(r + 1) * WIN_H, :].astype(jnp.float32)
             vals = [jnp.sum(c_all[c * WIN_H:(c + 1) * WIN_H] * vyg,
                             axis=0, keepdims=True) for c in range(3)]

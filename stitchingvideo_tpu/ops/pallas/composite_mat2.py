@@ -1058,15 +1058,16 @@ def composite_mat2_planar_pieces_batched(planar_b_i8: jnp.ndarray,
     if ml.tg_hard > 0:
         out = _class_call_batched(frames_sh, ml.hard, WIN_HH, Tg, B,
                                   zeros, interpret, fused_dma, out_dtype=bf,
-                                  quantize=True)
+                                  quantize=True, mm_int8=True)
         if ml.tg_easy > 0:
             out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
                                       out, interpret, fused_dma,
-                                      out_dtype=bf, quantize=True)
+                                      out_dtype=bf, quantize=True,
+                                      mm_int8=True)
     else:
         out = _class_call_batched(frames_sh, ml.easy, WIN_HE, Tg, B,
                                   zeros, interpret, fused_dma, out_dtype=bf,
-                                  quantize=True)
+                                  quantize=True, mm_int8=True)
 
     TgR = -(-ml.n_tiles // GROUP)
     # [3, T_alloc, B, P] -> [B, 3, T, P]; kernel blocks are already
