@@ -385,6 +385,22 @@ def main():
             return outs[:, :, 301, ::401].astype(jnp.int32).sum(axis=(1, 2))
 
         fps = run_timing(step, state, batches, B)
+
+        # secondary: throughput at B=32 — deeper matmul M-stacking for
+        # latency-insensitive pipelines (measured 231 vs 197 fps at B=16
+        # with the int8 kernels). B=16 stays the headline serving shape.
+        try:
+            from stitchingvideo_tpu.ops.pallas.composite_mat2 import \
+                MatLUT2 as _ML2
+            if isinstance(state, _ML2):
+                b32 = [jax.device_put(jnp.asarray(
+                    rng.integers(-128, 127, (32, n, 3, fh, fw), np.int8)))
+                    for _ in range(2)]
+                result["fps_b32"] = round(
+                    run_timing(step, state, b32, 32, iters=3), 2)
+                del b32              # free 2.3 GB before the later modes
+        except Exception as e:
+            result["fps_b32_error"] = repr(e)[:120]
     except Exception:
         # Pallas unavailable/failed (incl. at first trace in warmup):
         # demote to the exact XLA gather reference
