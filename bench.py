@@ -95,9 +95,13 @@ def relay_settle(max_wait_s: float = 600.0, fast_s: float = 5.0):
     import subprocess
     import sys
     code = (
+        # Time ONLY backend-init + the device op: the import block is
+        # host-load-sensitive (tens of seconds on a busy machine) and says
+        # nothing about the relay, so including it makes the settle loop
+        # misread host contention as relay indigestion.
         "import time\n"
-        "t0 = time.perf_counter()\n"
         "import jax, jax.numpy as jnp, numpy as np\n"
+        "t0 = time.perf_counter()\n"
         "np.asarray(jnp.zeros(2048, jnp.uint8) + 1)\n"
         "print('PROBE_S', time.perf_counter() - t0)\n")
     deadline = time.monotonic() + max_wait_s
